@@ -1,0 +1,24 @@
+"""powershap_spark — a PySpark-native feature-engineering + selection engine.
+
+From-scratch re-expression of predict-idlab/powershap's selection loop
+(repeated model fits with an injected uniform random probe, per-feature
+mean |SHAP| aggregation, percentile p-values, noncentral-t power analysis)
+fused with a point-in-time feature store over conversation-transcript
+tables: as-of joins on (conv_id, ts), strictly-past windowed features,
+ts-threshold sessionization — all idiomatic Spark DataFrame/window API,
+with vectorized Arrow UDFs for the model kernel and checkpointed,
+resumable, partition-parallel iterations.
+"""
+
+from .engine import CheckpointStore, PowerShapSelector
+from .kernel import RANDOM_COL
+from .stats import statistical_analysis
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PowerShapSelector",
+    "CheckpointStore",
+    "statistical_analysis",
+    "RANDOM_COL",
+]

