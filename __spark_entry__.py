@@ -1,38 +1,583 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+sf0.001. ``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for everything SQL-expressible (the as-of joins use
+DuckDB's native ASOF JOIN; windows use standard SQL window functions).
+
+Column names are aliased identically on both sides; float outputs are
+rounded to fixed decimals on both sides so the driver's value-hash compare
+is robust to engine-level float summation order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TAU = 1800.0
+_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
+_DE = ["der", "die", "das", "und", "ist", "nicht", "ich", "sie", "mit", "ein"]
+_FR = ["le", "la", "les", "et", "est", "pas", "je", "vous", "que", "une"]
+_ES = ["el", "la", "los", "y", "es", "no", "yo", "que", "con", "una"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: strictly-past windowed features per user over the events
+    stream, as-of-joined (sort-merge union+window) onto purchase probes at
+    (user_id, ts) — the transcript pipeline shape on the sf0.001 fixture."""
+    return _pit_matrix(spark, "/root/testdata/sf0.001")
+
+
+def _event_features(events: DataFrame) -> DataFrame:
+    from powershap_spark.operators.windows import (
+        build_features,
+        lag_feature,
+        rolling,
+        session_gap,
+        sessionize,
+    )
+
+    e = events.select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    specs = [
+        lag_feature("value", 1),
+        rolling("value", "avg", -3, -1, name="value_avg_prev3"),
+        rolling("value", "count", None, -1, name="n_prev_events"),
+        session_gap("ts"),
+        sessionize("ts", TAU),
+    ]
+    return build_features(e, specs, entity="user_id", order="ts", ts="ts")
+
+
+def _pit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from powershap_spark.operators.asof import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    feats = _event_features(events.filter(F.col("event_type") != "purchase"))
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", (F.col("value") > 50.0).cast("int").alias("label")
+    )
+    return asof_join(
+        probes,
+        feats.select(
+            "user_id",
+            "ts",
+            F.coalesce("value_lag1", F.lit(0.0)).alias("value_lag1"),
+            F.coalesce("value_avg_prev3", F.lit(0.0)).alias("value_avg_prev3"),
+            F.col("n_prev_events").cast("double").alias("n_prev_events"),
+            F.coalesce("session_gap_s", F.lit(0.0)).alias("session_gap_s"),
+            F.col("session_seq").cast("double").alias("session_seq"),
+        ),
+        on="user_id",
+        ts="ts",
+        matched_ts_col="feature_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_window_lag_lead(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        (F.row_number().over(w) - 1).alias("turn_seq"),
+    )
+
+
+def q_rolling_strict_past(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-3, -1)), 6).alias("value_avg_prev3"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "n_prev_events"
+        ),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, -1)), 4
+        ).alias("value_sum_past"),
+    )
+
+
+def q_session_gap_sessionize(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    is_new = (gap > TAU) | gap.isNull()
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(gap, 6).alias("gap_s"),
+        (
+            F.sum(is_new.cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).alias("session_seq"),
+    )
+
+
+def q_ffill_strict_past(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.last(pv, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            6,
+        ).alias("last_purchase_value"),
+    )
+
+
+def _asof_sides(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # right side made unique per (user_id, ts) so the match is deterministic
+    feats = (
+        e.filter(F.col("event_type") != "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("fvalue"))
+    )
+    return probes, feats
+
+
+def _asof_events(spark, sf_dir, variant):
+    from powershap_spark.operators import asof
+
+    probes, feats = _asof_sides(spark, sf_dir)
+    fn = {
+        "plain": asof.asof_join,
+        "bucketed": lambda *a, **k: asof.asof_join_bucketed(
+            *a, bucket_seconds=86400, **k
+        ),
+        "broadcast": asof.asof_join_broadcast,
+    }[variant]
+    out = fn(probes, feats, on="user_id", ts="ts", matched_ts_col="matched_ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "matched_ts",
+        F.round("fvalue", 6).alias("fvalue"),
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    return _asof_events(spark, sf_dir, "plain")
+
+
+def q_asof_join_bucketed_events(spark, sf_dir):
+    return _asof_events(spark, sf_dir, "bucketed")
+
+
+def q_asof_join_broadcast_events(spark, sf_dir):
+    return _asof_events(spark, sf_dir, "broadcast")
+
+
+def q_topk_per_group(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_exact_dedup_documents(spark, sf_dir):
+    from powershap_spark.operators.dedup import exact_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = lambda c: F.array_distinct(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), toks(F.col("text")).alias("ta"), "lang")
+    b = d.select(F.col("doc_id").alias("id_b"), toks(F.col("text")).alias("tb"), "lang")
+    j = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from powershap_spark.operators.text import bpe_ish_token_count, token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_lang_id_documents(spark, sf_dir):
+    from powershap_spark.operators.text import lang_id
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_quality_score_documents(spark, sf_dir):
+    from powershap_spark.operators.text import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from powershap_spark.operators.text import rolling_fingerprint
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from powershap_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# --- rows-only (non-SQL-expressible: engine-internal hashing / full loop) ---
+
+
+def q_minhash_dedup_documents(spark, sf_dir):
+    from powershap_spark.operators.dedup import minhash_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_dedup(d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.7)
+
+
+def q_simhash_documents(spark, sf_dir):
+    from powershap_spark.operators.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("simhash64"))
+
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    from powershap_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+def q_transcript_features(spark, sf_dir):
+    from powershap_spark import synth
+    from powershap_spark.pipeline import point_in_time_matrix, turn_features
+
+    t = synth.transcripts(spark, n_conv=60, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.25)
+    return point_in_time_matrix(turn_features(t), p)
+
+
+def q_powershap_selection(spark, sf_dir):
+    from powershap_spark import synth
+    from powershap_spark.pipeline import select_features
+
+    t = synth.transcripts(spark, n_conv=60, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.3)
+    sel, _ = select_features(t, p, power_iterations=5)
+    pdf = sel._processed_shaps_df.reset_index(names="feature")
+    pdf.columns = ["feature", "impact", "p_value", "effect_size", "power", "its_req"]
+    return spark.createDataFrame(pdf)
+
+
+def q_image_features_fake(spark, sf_dir):
+    from powershap_spark.operators.multimodal import attach_fake_media, image_features
+
+    d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
+    media = attach_fake_media(d, "doc_id")
+    return image_features(media, fake=True)
+
+
+def q_frame_sample_fake(spark, sf_dir):
+    from powershap_spark.operators.multimodal import attach_fake_media, frame_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
+    media = attach_fake_media(d, "doc_id")
+    return frame_sample(media, every_k=5, id_cols=("doc_id",))
+
+
+def q_pit_matrix_events(spark, sf_dir):
+    return _pit_matrix(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "window_lag_lead": q_window_lag_lead,
+        "rolling_strict_past": q_rolling_strict_past,
+        "session_gap_sessionize": q_session_gap_sessionize,
+        "ffill_strict_past": q_ffill_strict_past,
+        "asof_join_events": q_asof_join_events,
+        "asof_join_bucketed_events": q_asof_join_bucketed_events,
+        "asof_join_broadcast_events": q_asof_join_broadcast_events,
+        "topk_per_group": q_topk_per_group,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "token_counts": q_token_counts,
+        "lang_id_documents": q_lang_id_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "embedding_topk": q_embedding_topk,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "simhash_documents": q_simhash_documents,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "transcript_features": q_transcript_features,
+        "powershap_selection": q_powershap_selection,
+        "image_features_fake": q_image_features_fake,
+        "frame_sample_fake": q_frame_sample_fake,
+        "pit_matrix_events": q_pit_matrix_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ASOF_ORACLE = """
+WITH probes AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+feats AS (
+  SELECT user_id, ts, max(value) AS fvalue
+  FROM events WHERE event_type <> 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id, f.ts AS matched_ts, round(f.fvalue, 6) AS fvalue
+FROM probes p ASOF LEFT JOIN feats f
+  ON p.user_id = f.user_id AND p.ts >= f.ts
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = lambda lst: "[" + ",".join(f"'{s}'" for s in lst) + "]"
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "window_lag_lead": """
+            SELECT user_id, event_id,
+                   round(lag(value, 1) OVER w, 6) AS prev_value,
+                   lead(event_type, 1) OVER w AS next_type,
+                   row_number() OVER w - 1 AS turn_seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rolling_strict_past": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS value_avg_prev3,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prev_events,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4) AS value_sum_past
+            FROM events
+        """,
+        "session_gap_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+              FROM events
+            )
+            SELECT user_id, event_id, round(gap_s, 6) AS gap_s,
+                   sum(CASE WHEN gap_s > 1800.0 OR gap_s IS NULL THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
+            FROM g
+        """,
+        "ffill_strict_past": """
+            SELECT user_id, event_id,
+                   round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+                     AS last_purchase_value
+            FROM events
+        """,
+        "asof_join_events": _ASOF_ORACLE,
+        "asof_join_bucketed_events": _ASOF_ORACLE,
+        "asof_join_broadcast_events": _ASOF_ORACLE,
+        "topk_per_group": """
+            SELECT event_type, rank, event_id, round(value, 6) AS value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events
+            ) WHERE rank <= 3
+        """,
+        "exact_dedup_documents": """
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        """,
+        "token_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_id_documents": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                     len(list_intersect(toks, {stop(_EN)})) AS s_en,
+                     len(list_intersect(toks, {stop(_DE)})) AS s_de,
+                     len(list_intersect(toks, {stop(_FR)})) AS s_fr,
+                     len(list_intersect(toks, {stop(_ES)})) AS s_es
+              FROM s
+            ), lang AS (
+              SELECT CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+              FROM sc
+            )
+            SELECT pred_lang, count(*) AS n_docs FROM lang GROUP BY pred_lang
+        """,
+        "quality_score_documents": f"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     length(text) AS n,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok,
+                     length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> list_contains({stop(_EN)}, t)))::DOUBLE
+                               / len(string_split_regex(trim(lower(text)), '\\s+')) END AS stop_ratio
+              FROM documents
+            )
+            SELECT doc_id, round((
+              (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n > 0 THEN 1.0 - least(punct::DOUBLE / n * 5.0, 1.0) ELSE 0.0 END)
+              + (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END)
+              + least(stop_ratio * 4.0, 1.0)
+            ) / 4.0, 6) AS quality
+            FROM b
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       [unicode(c) FOR c IN regexp_extract_all(text, '.')]),
+                     (acc, x) -> (acc * 31 + x) % 1000000007
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }

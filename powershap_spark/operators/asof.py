@@ -136,7 +136,8 @@ def asof_join(
 
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("__asof_t").cast("double") - matched[_TS_FIELD].cast("double")
+            F.col("__asof_t").cast("timestamp_ltz").cast("double")
+            - matched[_TS_FIELD].cast("timestamp_ltz").cast("double")
         )
         matched = F.when(gap <= F.lit(float(tolerance_seconds)), matched)
 
@@ -228,7 +229,11 @@ def asof_join_bucketed(
 
     u, out_vals, left_cols = _payload_and_union(left, right, on, ts, right_ts, right_order, suffix)
     u = u.withColumn(
-        "__bucket", F.floor(F.col("__asof_t").cast("double") / F.lit(float(bucket_seconds)))
+        "__bucket",
+        F.floor(
+            F.col("__asof_t").cast("timestamp_ltz").cast("double")
+            / F.lit(float(bucket_seconds))
+        ),
     )
 
     # phase 1: last right payload per (key, bucket); carry-in per bucket

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs over
+``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (hash-derived
+"pixels") exercises the real Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — which is what this module actually
+provides and what the tests cover.
+
+Scale shape: media bytes stay columnar (Arrow binary arrays) end to end;
+feature extraction is per-batch vectorized; frame sampling emits multiple
+rows per input via mapInPandas's iterator contract (no collect, no
+per-row Python UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_fake_media",
+    "decode_image",
+    "image_features",
+    "frame_sample",
+]
+
+_MEDIA_SCHEMA = "media binary, media_type string, width int, height int, n_frames int"
+
+
+def attach_fake_media(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Attach a deterministic opaque binary 'media' column + typed metadata
+    derived from the id — stands in for a real media ingest."""
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    return df.select(
+        "*",
+        F.encode(F.concat(F.lit("IMG:"), F.hex(h)), "utf-8").alias("media"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("video/mp4")),
+            (F.pmod(h, F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        (F.pmod(h, F.lit(512)) + 32).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(h), F.lit(512)) + 32).cast("int").alias("height"),
+        (F.pmod(h, F.lit(30)) + 1).cast("int").alias("n_frames"),
+    )
+
+
+def decode_image(media: bytes, fake: bool = False) -> np.ndarray:
+    """Decode binary -> HxWx3 uint8 array. REAL decode requires
+    Pillow/libjpeg, absent in this container -> NotImplementedError.
+    fake=True: deterministic hash-derived pixels with the right shape."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires Pillow/opencv (not in this environment); "
+            "pass fake=True for the deterministic test decoder"
+        )
+    h = np.frombuffer(media, dtype=np.uint8)
+    rng = np.random.RandomState(int(h[:4].view(np.uint32)[0]) if len(h) >= 4 else 0)
+    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    fake: bool = True,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Per-image features via mapInPandas: mean/std channel intensity.
+    The UDF body is batch-vectorized; decode is the stubbed step."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", mean_intensity double, std_intensity double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, stds = [], []
+            for blob in pdf[media_col]:
+                img = decode_image(bytes(blob), fake=fake)
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+            pdf = pdf.copy()
+            pdf["mean_intensity"] = means
+            pdf["std_intensity"] = stds
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_k: int = 5,
+    media_col: str = "media",
+    n_frames_col: str = "n_frames",
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index
+    (0, k, 2k, ...) — demonstrates the 1->N mapInPandas expansion shape.
+    Frame payloads stay opaque (decode is the stubbed step)."""
+    out_schema = (
+        ", ".join(f"{c} long" for c in id_cols) + ", frame_idx int, frame binary"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in id_cols}
+            fidx, payload = [], []
+            for _, r in pdf.iterrows():
+                n = int(r[n_frames_col])
+                for i in range(0, n, every_k):
+                    for c in id_cols:
+                        rows[c].append(r[c])
+                    fidx.append(i)
+                    payload.append(bytes(r[media_col]) + i.to_bytes(4, "little"))
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = pd.Series(fidx, dtype="int32")
+            out["frame"] = payload
+            yield out
+
+    return df.mapInPandas(op, schema=out_schema)

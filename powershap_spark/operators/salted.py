@@ -137,7 +137,7 @@ def sessionize_salted(
     d = _with_chunk(df, order, chunk_size)
 
     chunk_last_ts = d.groupBy(entity, "__chunk").agg(
-        F.max(F.col(ts).cast("double")).alias("__chunk_last_ts")
+        F.max(F.col(ts).cast("timestamp_ltz").cast("double")).alias("__chunk_last_ts")
     )
     wc = Window.partitionBy(entity).orderBy("__chunk")
     prev_ts = chunk_last_ts.withColumn(
@@ -146,9 +146,8 @@ def sessionize_salted(
 
     w2 = Window.partitionBy(entity, "__chunk").orderBy(order)
     d = d.join(prev_ts, [entity, "__chunk"], "left")
-    gap = F.col(ts).cast("double") - F.coalesce(
-        F.lag(F.col(ts).cast("double")).over(w2), F.col("__prev_chunk_ts")
-    )
+    ep = F.col(ts).cast("timestamp_ltz").cast("double")
+    gap = ep - F.coalesce(F.lag(ep).over(w2), F.col("__prev_chunk_ts"))
     is_new = ((gap > F.lit(float(tau_seconds))) | gap.isNull()).cast("int")
     d = d.withColumn("__is_new", is_new).drop("__prev_chunk_ts")
 

@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in expressions (whole-stage codegen); deliberately simple,
+deterministic heuristics — the point is scale-shaped plumbing with
+oracle-checkable semantics, not NLP accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "rolling_fingerprint",
+]
+
+_EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
+_DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ich", "sie", "mit", "ein"]
+_FR_STOP = ["le", "la", "les", "et", "est", "pas", "je", "vous", "que", "une"]
+_ES_STOP = ["el", "la", "los", "y", "es", "no", "yo", "que", "con", "una"]
+
+
+def _tokens(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.lower(c))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col) -> "F.Column":
+    """Whitespace token count."""
+    return F.size(_tokens(col)).cast("int")
+
+
+def bpe_ish_token_count(col) -> "F.Column":
+    """BPE-ish token estimate: count of word pieces + punctuation via regex
+    (letters/digit runs and individual symbols), like a crude tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    ).cast("int")
+
+
+def _stop_hits(col, stopwords: list[str]) -> "F.Column":
+    toks = _tokens(col)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.array_intersect(F.array_distinct(toks), arr)).cast("int")
+
+
+def stopword_ratio(col, stopwords: list[str] | None = None) -> "F.Column":
+    """Fraction of tokens that are (English) stopwords."""
+    toks = _tokens(col)
+    arr = F.array(*[F.lit(s) for s in (stopwords or _EN_STOP)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0)).cast(
+        "double"
+    )
+
+
+def quality_score(col) -> "F.Column":
+    """Heuristic [0,1] document quality: length band + punctuation sanity +
+    stopword presence + alpha ratio. Deterministic, oracle-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    punct = n - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", ""))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    punct_ok = F.when(n > 0, 1.0 - F.least(punct / n * 5.0, F.lit(1.0))).otherwise(0.0)
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    stop = stopword_ratio(c)
+    stop_ok = F.least(stop * 4.0, F.lit(1.0))
+    return ((len_ok + punct_ok + alpha_ratio + stop_ok) / 4.0).cast("double")
+
+
+def lang_id(col) -> "F.Column":
+    """Stopword-vote language ID over {en, de, fr, es}; 'und' (undetermined)
+    when no stopword list scores > 0. Ties break by fixed language order."""
+    scores = [
+        ("en", _stop_hits(col, _EN_STOP)),
+        ("de", _stop_hits(col, _DE_STOP)),
+        ("fr", _stop_hits(col, _FR_STOP)),
+        ("es", _stop_hits(col, _ES_STOP)),
+    ]
+    # struct comparison is lexicographic: max score wins, ties go to the
+    # earliest language in the list (higher -index)
+    best = F.greatest(
+        *[
+            F.struct(sc.alias("s"), F.lit(-i).alias("o"), F.lit(lang).alias("l"))
+            for i, (lang, sc) in enumerate(scores)
+        ]
+    )
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(col, mod: int = 1_000_000_007, base: int = 31) -> "F.Column":
+    """Polynomial rolling hash over the character codepoints:
+    h = sum(base^i * code_i) mod p — engine-agnostic (same value computable
+    in DuckDB SQL), unlike xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    # regexp_extract_all('.') yields exactly the non-newline characters —
+    # identical tokenization to the DuckDB oracle (split-based alternatives
+    # emit a trailing empty string that would corrupt the hash)
+    chars = F.regexp_extract_all(c, F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
+    ).cast("long")

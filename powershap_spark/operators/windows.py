@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 __all__ = [
+    "epoch_seconds",
     "FeatureSpec",
     "LeakageError",
     "entity_window",
@@ -41,6 +42,14 @@ __all__ = [
     "text_stats",
     "build_features",
 ]
+
+
+def epoch_seconds(col) -> Column:
+    """Seconds-since-epoch double from timestamp (NTZ or LTZ) or numeric
+    columns — the NTZ->LTZ->double chain matches DuckDB's epoch() exactly
+    and is a no-op for numeric inputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
 
 
 class LeakageError(ValueError):
@@ -140,7 +149,7 @@ def session_gap(ts: str = "ts", name: str = "session_gap_s") -> FeatureSpec:
     """Seconds since the previous turn (null on the first turn). Past-only."""
     return FeatureSpec(
         name,
-        lambda w: F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w),
+        lambda w: epoch_seconds(ts) - F.lag(epoch_seconds(ts)).over(w),
     )
 
 
@@ -152,7 +161,7 @@ def sessionize(
     Uses only lag(ts) -> past-only, leakage-safe."""
 
     def expr(w: WindowSpec) -> Column:
-        gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+        gap = epoch_seconds(ts) - F.lag(epoch_seconds(ts)).over(w)
         is_new = (gap > F.lit(float(tau_seconds))) | gap.isNull()
         return (
             F.sum(is_new.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -253,7 +262,7 @@ def build_features(
     for s in list(specs) + list(label_specs or []):
         if s.needs_time_window:
             if tw is None:
-                tw = Window.partitionBy(entity).orderBy(F.col(ts).cast("long"))
+                tw = Window.partitionBy(entity).orderBy(epoch_seconds(ts).cast("long"))
             cols[s.name] = s.expr(tw)
         else:
             cols[s.name] = s.expr(w)

@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's correctness gate: run each
+__spark_entry__.queries() entry and its oracle_sql() against DuckDB at a
+given sf dir and compare row count, column names, and order-insensitive
+values. Usage: python tools/check_oracles.py [sf_dir] [only_query ...]"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif "datetime" in str(pdf[c].dtype):
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[ns]").astype("int64")
+        elif pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from powershap_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"[ERR ] {name}: spark failed: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"[rows] {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"[ERR ] {name}: duckdb failed: {str(e)[:200]}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_vals = ok_rows and ok_cols and a.equals(b)
+        if not ok_vals and ok_rows and ok_cols:
+            # allow tiny float wiggle
+            try:
+                ok_vals = all(
+                    np.allclose(
+                        a[c].astype(float), b[c].astype(float), atol=1e-5, equal_nan=True
+                    )
+                    if a[c].dtype.kind in "fiu" and b[c].dtype.kind in "fiu"
+                    else (a[c] == b[c]).all()
+                    for c in a.columns
+                )
+            except (TypeError, ValueError):
+                ok_vals = False
+        status = "OK  " if ok_vals else "FAIL"
+        if not ok_vals:
+            failures.append(name)
+        print(f"[{status}] {name}: spark={len(sdf)} duck={len(odf)} cols_ok={ok_cols}")
+        if not ok_vals and ok_rows and ok_cols:
+            diff_mask = ~(a.fillna("~") == b.fillna("~")).all(axis=1)
+            print("  first diffs (spark vs duck):")
+            print(pd.concat([a[diff_mask].head(3), b[diff_mask].head(3)]).to_string())
+        elif not ok_rows or not ok_cols:
+            print(f"  spark cols: {list(a.columns)}")
+            print(f"  duck  cols: {list(b.columns)}")
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
