@@ -109,7 +109,7 @@ def _make_group_fn(
     row_key_col,
     sort_cols,
 ):
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key, pdf):
         global_it, part_id = int(key[0]), int(key[1])
         local_i = local_by_global[global_it]
         t0 = time.perf_counter()

@@ -49,10 +49,13 @@ def inject_probe_keyed(keys: np.ndarray, iteration: int, seed_start: int = 0) ->
     a pure function of (seed, row key), never of row position.
     Uses splitmix64 finalization for avalanche.
     """
-    x = (keys.astype(np.uint64) + np.uint64(iteration + seed_start) * np.uint64(0x9E3779B97F4A7C15))
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        x = keys.astype(np.uint64) + np.uint64(
+            ((iteration + seed_start) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        )
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
     # uint64 -> [0,1) -> [-1,1)
     u = x.astype(np.float64) / float(2**64)
     return u * 2.0 - 1.0

@@ -49,16 +49,17 @@ def transcripts(
 ) -> DataFrame:
     """Deterministic transcript table. Total rows ~ n_conv * mean_turns /
     (1 - hot_frac); conversation 0 holds ~hot_frac of them."""
-    base_total = n_conv * mean_turns
-    hot_turns = int(base_total * hot_frac / max(1e-9, 1.0 - hot_frac))
+    # base turns uniform in [3, 2*mean_turns+2] (mean ~= mean_turns+2), 3% of
+    # convs x8 long tail -> expected per-conv ~= 1.21 * (mean_turns + 2)
+    expected_total = n_conv * (mean_turns + 2) * 1.21
+    hot_turns = int(expected_total * hot_frac / max(1e-9, 1.0 - hot_frac))
 
     conv = spark.range(n_conv).withColumnRenamed("id", "conv_nr")
     if n_partitions:
         conv = conv.repartition(n_partitions)
 
-    # heavy-tailed turn counts: base 5..64, ~3% of convs x8 long; conv 0 hot
     h_turns = _h(seed, F.lit("nturns"), F.col("conv_nr"))
-    base = (F.pmod(h_turns, F.lit(60)) + 5).cast("int")
+    base = (F.pmod(h_turns, F.lit(2 * mean_turns)) + 3).cast("int")
     long_tail = F.when(_u01(seed, F.lit("tail"), F.col("conv_nr")) < 0.03, 8).otherwise(1)
     n_turns = F.when(F.col("conv_nr") == 0, F.lit(max(hot_turns, 5))).otherwise(
         base * long_tail

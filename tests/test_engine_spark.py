@@ -1,0 +1,105 @@
+"""Distributed engine: Spark backend equivalence with the local reference
+loop, partition-parallel mode, keyed-probe partition invariance, and
+checkpoint/resume byte-identity (FIXTURES.md F6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from powershap_spark import PowerShapSelector
+from powershap_spark.synth import parity_matrix
+
+
+def _as_spark(spark, X, y):
+    pdf = X.copy()
+    pdf["label"] = y
+    pdf["row_id"] = np.arange(len(pdf), dtype=np.int64)
+    return spark.createDataFrame(pdf)
+
+
+def test_spark_fit_matches_pandas_fit(spark, clf_xy):
+    """n_parts=1 + stable sort = the exact reference loop, so the Spark path
+    must reproduce the pandas path bit-for-bit."""
+    X, y = clf_xy
+    local = PowerShapSelector(power_iterations=6).fit(X, y)
+
+    sdf = _as_spark(spark, X, y)
+    dist = PowerShapSelector(power_iterations=6, sort_cols=["row_id"]).fit(
+        sdf, label_col="label", feature_cols=list(X.columns)
+    )
+    a = local._processed_shaps_df.sort_index()
+    b = dist._processed_shaps_df.sort_index()
+    assert list(a.index) == list(b.index)
+    assert np.allclose(a.values, b.values, rtol=1e-6, equal_nan=True)
+    assert local.selected_features_ == dist.selected_features_
+
+
+def test_partition_parallel_selects_informative(spark, clf_xy):
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    sel = PowerShapSelector(
+        power_iterations=6, n_parts=3, part_by="row_id", sort_cols=["row_id"]
+    ).fit(sdf, label_col="label", feature_cols=list(X.columns))
+    assert {"informative_0", "informative_1"} <= set(sel.selected_features_)
+
+
+def test_keyed_probe_partition_invariance(spark, clf_xy):
+    """probe_mode='keyed' must give identical results at any input
+    partitioning (order-independent RNG)."""
+    X, y = clf_xy
+    sdf1 = _as_spark(spark, X, y).repartition(2)
+    sdf2 = _as_spark(spark, X, y).repartition(11)
+    kw = dict(
+        power_iterations=4, probe_mode="keyed", sort_cols=["row_id"]
+    )
+    s1 = PowerShapSelector(**kw).fit(sdf1, label_col="label", feature_cols=list(X.columns))
+    s2 = PowerShapSelector(**kw).fit(sdf2, label_col="label", feature_cols=list(X.columns))
+    a = s1._processed_shaps_df.sort_index()
+    b = s2._processed_shaps_df.sort_index()
+    assert np.allclose(a.values, b.values, equal_nan=True)
+
+
+def test_spark_resume_identical(spark, clf_xy, tmp_path):
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    kw = dict(sort_cols=["row_id"])
+    full = PowerShapSelector(power_iterations=6, **kw).fit(
+        sdf, label_col="label", feature_cols=list(X.columns)
+    )
+    # interrupted run: 3 its, then a corrupt partial for iteration 3
+    PowerShapSelector(
+        power_iterations=3, checkpoint_dir=str(tmp_path), run_id="r", **kw
+    ).fit(sdf, label_col="label", feature_cols=list(X.columns))
+    (tmp_path / "r" / "iter=main.3.parquet").write_bytes(b"partial garbage")
+    resumed = PowerShapSelector(
+        power_iterations=6, checkpoint_dir=str(tmp_path), run_id="r", **kw
+    ).fit(sdf, label_col="label", feature_cols=list(X.columns))
+    assert np.allclose(
+        full._processed_shaps_df.sort_index().values,
+        resumed._processed_shaps_df.sort_index().values,
+        equal_nan=True,
+    )
+    # lineage columns present in the checkpoint
+    cp = pd.read_parquet(tmp_path / "r" / "iter=main.0.parquet")
+    for col in ["iteration", "part_id", "feature", "mean_abs_shap", "n_val_rows", "n_rows", "wall_ms", "seed_start"]:
+        assert col in cp.columns
+    assert (tmp_path / "r" / "metrics.jsonl").exists()
+
+
+def test_automatic_mode_spark(spark, clf_xy):
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    sel = PowerShapSelector(automatic=True, sort_cols=["row_id"]).fit(
+        sdf, label_col="label", feature_cols=list(X.columns)
+    )
+    assert {"informative_0", "informative_1"} <= set(sel.selected_features_)
+
+
+def test_transform_spark_dataframe(spark, clf_xy):
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    sel = PowerShapSelector(power_iterations=4, sort_cols=["row_id"]).fit(
+        sdf, label_col="label", feature_cols=list(X.columns)
+    )
+    out = sel.transform(sdf)
+    assert set(out.columns) == set(sel.selected_features_)

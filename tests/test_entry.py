@@ -1,0 +1,49 @@
+"""Driver contract: entry() smoke + a DuckDB oracle spot-check of three
+representative queries at sf0.001 (full battery runs via
+tools/check_oracles.py)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as em
+from tests.conftest import SF_DIR
+
+SPOT = ["asof_join_events", "rolling_strict_past", "fingerprint_documents"]
+
+
+def test_entry_returns_rows(spark):
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert "label" in df.columns
+
+
+def test_queries_and_oracles_aligned():
+    qs, os = em.queries(), em.oracle_sql()
+    assert set(os) <= set(qs)
+    assert len(qs) >= 20
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_oracle_spot(spark, name):
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings", "lineitem"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sdf = em.queries()[name](spark, SF_DIR).toPandas()
+    odf = con.sql(em.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+
+    def norm(p):
+        p = p[sorted(p.columns)].copy()
+        for c in p.columns:
+            if "datetime" in str(p[c].dtype):
+                p[c] = pd.to_datetime(p[c]).astype("datetime64[ns]").astype("int64")
+            elif p[c].dtype.kind == "f":
+                p[c] = p[c].round(6)
+        return p.sort_values(list(p.columns), na_position="first").reset_index(drop=True)
+
+    a, b = norm(sdf), norm(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -1,0 +1,108 @@
+"""Kernel semantics: probe streams, split behavior, exact linear SHAP."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from powershap_spark.kernel import (
+    LinearRegressionModel,
+    LogisticRegressionModel,
+    explain_iteration,
+    inject_probe_keyed,
+    inject_probe_positional,
+    linear_shap_values,
+    train_test_split_indices,
+)
+
+
+def test_probe_positional_is_reference_stream():
+    # exactly RandomState(i + seed_start).uniform(-1, 1, n)
+    got = inject_probe_positional(100, iteration=3, seed_start=2)
+    exp = np.random.RandomState(5).uniform(-1, 1, 100)
+    assert np.array_equal(got, exp)
+
+
+def test_probe_keyed_order_independent():
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    a = inject_probe_keyed(keys, 4, 0)
+    perm = np.random.RandomState(0).permutation(1000)
+    b = inject_probe_keyed(keys[perm], 4, 0)
+    assert np.allclose(a[perm], b)
+    assert a.min() >= -1 and a.max() < 1
+    # roughly uniform
+    assert abs(a.mean()) < 0.1
+    # different iteration -> different stream
+    assert not np.allclose(a, inject_probe_keyed(keys, 5, 0))
+
+
+def test_split_sorted_disjoint_sized():
+    tr, va = train_test_split_indices(500, 0.2, seed=7)
+    assert len(va) == 100 and len(tr) == 400
+    assert np.array_equal(tr, np.sort(tr)) and np.array_equal(va, np.sort(va))
+    assert not set(tr) & set(va)
+    assert set(tr) | set(va) == set(range(500))
+    # permutation semantics: val = first n_val of RandomState(seed).permutation
+    perm = np.random.RandomState(7).permutation(500)
+    assert set(va) == set(perm[:100])
+
+
+def test_split_stratified_preserves_ratio():
+    y = np.array([0] * 80 + [1] * 20)
+    tr, va = train_test_split_indices(100, 0.25, seed=1, stratify=y)
+    assert len(va) == 25
+    assert (y[va] == 1).sum() == 5
+
+
+def test_split_groups_keep_groups_whole():
+    g = np.repeat(np.arange(10), 10)
+    tr, va = train_test_split_indices(100, 0.3, seed=2, groups=g)
+    assert not set(g[tr]) & set(g[va])
+
+
+def test_linear_shap_exact():
+    r = np.random.RandomState(0)
+    Xtr, Xva = r.randn(50, 3), r.randn(10, 3)
+    coef = np.array([2.0, -1.0, 0.5])
+    phi = linear_shap_values(coef, Xtr, Xva)
+    mu = Xtr.mean(axis=0)
+    assert np.allclose(phi, (Xva - mu) * coef)
+    # local accuracy: sum of phis = prediction - mean prediction
+    assert np.allclose(phi.sum(axis=1), (Xva - mu) @ coef)
+
+
+def test_linear_regression_recovers_coefficients():
+    r = np.random.RandomState(1)
+    X = r.randn(2000, 4)
+    beta = np.array([3.0, -2.0, 0.0, 1.0])
+    y = X @ beta + 5.0 + 0.01 * r.randn(2000)
+    m = LinearRegressionModel().fit(X, y)
+    assert np.allclose(m.coef_, beta, atol=1e-2)
+    assert m.intercept_ == pytest.approx(5.0, abs=1e-2)
+
+
+def test_logistic_regression_separates():
+    r = np.random.RandomState(2)
+    X = r.randn(3000, 3)
+    z = 2 * X[:, 0] - 1 * X[:, 1]
+    y = (z + 0.1 * r.randn(3000) > 0).astype(float)
+    m = LogisticRegressionModel().fit(X, y)
+    # direction recovered: large positive coef0, negative coef1, ~0 coef2
+    assert m.coef_[0] > 1.0 and m.coef_[1] < -0.5
+    assert abs(m.coef_[2]) < 0.35 * abs(m.coef_[0])
+    pred = (m.decision_function(X) > 0).astype(float)
+    assert (pred == y).mean() > 0.95
+
+
+def test_explain_iteration_output_contract():
+    r = np.random.RandomState(3)
+    pdf = pd.DataFrame(r.randn(200, 3), columns=["a", "b", "c"])
+    pdf["label"] = (pdf["a"] > 0).astype(np.int64)
+    out = explain_iteration(pdf, ["a", "b", "c"], "label", iteration=0)
+    assert list(out.columns) == ["feature", "mean_abs_shap", "n_val_rows"]
+    assert list(out.feature) == ["a", "b", "c", "random_uniform_feature"]
+    assert out.mean_abs_shap.dtype == np.float32
+    assert (out.n_val_rows == 40).all()
+    # informative feature dominates
+    assert out.set_index("feature").mean_abs_shap["a"] > out.set_index(
+        "feature"
+    ).mean_abs_shap["random_uniform_feature"]

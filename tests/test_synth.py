@@ -1,0 +1,76 @@
+"""Synthetic transcript generator: determinism, partition invariance,
+schema contract (BASELINE.json input_hint), planted skew."""
+
+import numpy as np
+import pytest
+
+from powershap_spark import synth
+
+
+def _collect(df):
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_schema_matches_input_hint(spark):
+    t = synth.transcripts(spark, n_conv=10, mean_turns=8)
+    assert [(f.name, f.dataType.simpleString()) for f in t.schema.fields] == [
+        ("conv_id", "string"),
+        ("turn_idx", "int"),
+        ("role", "string"),
+        ("text", "string"),
+        ("tool", "string"),
+        ("ts", "timestamp"),
+    ]
+
+
+def test_deterministic_and_partition_invariant(spark):
+    a = _collect(synth.transcripts(spark, n_conv=30, mean_turns=10))
+    b = _collect(synth.transcripts(spark, n_conv=30, mean_turns=10, n_partitions=7))
+    assert a.equals(b)
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """north_rule invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering across two independent generations."""
+    a = _collect(synth.transcripts(spark, n_conv=25, mean_turns=12))
+    b = _collect(synth.transcripts(spark, n_conv=25, mean_turns=12))
+    assert (a.text == b.text).all()
+    assert (a.turn_idx == b.turn_idx).all()
+
+
+def test_hot_conversation_planted(spark):
+    t = synth.transcripts(spark, n_conv=50, mean_turns=20, hot_frac=0.10)
+    counts = t.groupBy("conv_id").count().toPandas().set_index("conv_id")["count"]
+    frac = counts["conv_00000000"] / counts.sum()
+    assert 0.05 < frac < 0.2
+
+
+def test_multi_session_conversations_exist(spark):
+    from powershap_spark.operators.windows import build_features, sessionize
+
+    t = synth.transcripts(spark, n_conv=40, mean_turns=25)
+    s = build_features(t, [sessionize("ts", synth.TAU_SECONDS)], "conv_id", "turn_idx")
+    mx = s.groupBy("conv_id").agg({"session_seq": "max"}).toPandas()
+    assert (mx["max(session_seq)"] > 0).any()
+
+
+def test_roles_cycle_and_tools_on_tool_turns(spark):
+    t = synth.transcripts(spark, n_conv=10, mean_turns=9).toPandas()
+    assert set(t.role) == {"user", "assistant", "tool"}
+    assert t[t.role == "tool"].tool.notna().all()
+    assert t[t.role != "tool"].tool.isna().all()
+
+
+def test_probes_kinds_and_labels(spark):
+    t = synth.transcripts(spark, n_conv=40, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.3, task="classification").toPandas()
+    assert set(p.label) <= {0, 1}
+    assert 0.1 < p.label.mean() < 0.9
+    # some probes predate the conversation (null-match case)
+    tmin = t.groupBy("conv_id").agg({"ts": "min"}).toPandas().set_index("conv_id")
+    joined = p.join(tmin, on="conv_id")
+    assert (joined.ts < joined["min(ts)"]).any()

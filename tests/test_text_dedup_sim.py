@@ -1,0 +1,195 @@
+"""Dedup / similarity / text / multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from powershap_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from powershap_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_image,
+    frame_sample,
+    image_features,
+)
+from powershap_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from powershap_spark.operators.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup
+        (2, "The  quick brown fox jumps over the lazy dog again and again ", "en"),  # ws/case dup
+        (3, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+        (4, "completely different content about spark window functions here", "en"),
+        (5, "der hund ist nicht ein katze und sie sind mit ihm", "de"),
+        (6, "le chat est sur la table et je vous aime bien pas mal", "fr"),
+        (7, "", "und"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "text", "doc_id").toPandas()
+    ids = set(out.doc_id)
+    assert 0 in ids and 1 not in ids and 2 not in ids  # 1,2 normalize-equal to 0
+    assert {3, 4, 5, 6, 7} <= ids
+
+
+def test_minhash_near_dup(spark, docs):
+    out = minhash_dedup(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5, shingle_n=2
+    ).toPandas()
+    ids = set(out.doc_id)
+    assert 0 in ids
+    assert 1 not in ids  # exact dup caught by minhash too
+    assert 3 not in ids  # near dup (1 word of 12 changed)
+    assert 4 in ids and 5 in ids
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = docs.select(
+        "doc_id", minhash_signature(shingles("text", 2), 128).alias("minhash")
+    )
+    pairs = lsh_candidate_pairs(sigs, bands=32).toPandas()
+    exact = {(0, 1): 1.0}
+    row01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(row01) == 1 and row01.est_jaccard.iloc[0] == 1.0
+    row03 = pairs[(pairs.id_a == 0) & (pairs.id_b == 3)]
+    if len(row03):  # near-dup: estimate should be high but < 1
+        assert 0.4 < row03.est_jaccard.iloc[0] < 1.0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=2, join_on=["lang"]
+    ).toPandas()
+    j01 = out[(out.id_a == 0) & (out.id_b == 1)].jaccard.iloc[0]
+    assert j01 == 1.0
+    j03 = out[(out.id_a == 0) & (out.id_b == 3)].jaccard.iloc[0]
+    assert 0.4 < j03 < 1.0
+
+
+def test_simhash_near_equals(spark, docs):
+    out = docs.select("doc_id", simhash("text").alias("h")).toPandas().set_index("doc_id").h
+    assert out[0] == out[1]  # identical text -> identical simhash
+    # near dup differs in few bits
+    diff_bits = bin((int(out[0]) ^ int(out[3])) & (2**64 - 1)).count("1")
+    assert diff_bits <= 16
+    far_bits = bin((int(out[0]) ^ int(out[4])) & (2**64 - 1)).count("1")
+    assert far_bits > diff_bits
+
+
+def test_token_counts(spark, docs):
+    out = docs.select("doc_id", token_count("text").alias("n"), bpe_ish_token_count("text").alias("b")).toPandas().set_index("doc_id")
+    assert out.loc[0, "n"] == 12
+    assert out.loc[7, "n"] == 0
+    assert out.loc[0, "b"] == 12  # no punctuation/digits -> same as ws
+
+
+def test_lang_id(spark, docs):
+    out = docs.select("doc_id", lang_id("text").alias("l")).toPandas().set_index("doc_id").l
+    assert out[0] == "en"
+    assert out[5] == "de"
+    assert out[6] == "fr"
+    assert out[7] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    out = docs.select(quality_score("text").alias("q")).toPandas().q
+    assert ((out >= 0) & (out <= 1)).all()
+
+
+def test_rolling_fingerprint_matches_python(spark, docs):
+    out = docs.select("doc_id", "text", rolling_fingerprint("text").alias("f")).toPandas()
+    for _, r in out.iterrows():
+        h = 0
+        for ch in r.text:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        assert r.f == h, r.doc_id
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    r = np.random.RandomState(6)
+    vecs = r.randn(60, 16).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64), "embedding": list(map(list, vecs))})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    sdf, vecs = emb
+    queries = sdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(sdf, queries, k=4).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        exp = np.argsort(-sims[q], kind="stable")[:4]
+        got = out[out.query_id == q].sort_values("rank").vec_id.values
+        assert list(got) == list(exp)
+        assert np.allclose(
+            out[out.query_id == q].sort_values("rank").cosine.values,
+            sims[q][exp],
+            atol=1e-9,
+        )
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    sdf, vecs = emb
+    queries = sdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(sdf, queries, k=4, n_planes=3).toPandas()
+    # every query finds at least itself (cosine 1.0, same bucket trivially)
+    for q in range(3):
+        mine = out[(out.query_id == q) & (out.vec_id == q)]
+        assert len(mine) == 1 and mine.cosine.iloc[0] == pytest.approx(1.0)
+        assert (out[out.query_id == q]["rank"].values <= 4).all()
+
+
+def test_multimodal_image_features(spark, docs):
+    media = attach_fake_media(docs.select("doc_id"), "doc_id")
+    out = image_features(media, fake=True).toPandas()
+    assert len(out) == 8
+    assert ((out.mean_intensity >= 0) & (out.mean_intensity <= 255)).all()
+    # deterministic: re-run gives identical values
+    out2 = image_features(media, fake=True).toPandas()
+    assert np.allclose(
+        out.sort_values("doc_id").mean_intensity, out2.sort_values("doc_id").mean_intensity
+    )
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+
+
+def test_frame_sample_expansion(spark, docs):
+    media = attach_fake_media(docs.select("doc_id"), "doc_id")
+    n_frames = media.toPandas().set_index("doc_id").n_frames
+    out = frame_sample(media, every_k=5).toPandas()
+    for d, grp in out.groupby("doc_id"):
+        expected = int(np.ceil(n_frames[d] / 5))
+        assert len(grp) == expected
+        assert list(grp.frame_idx) == list(range(0, int(n_frames[d]), 5))
