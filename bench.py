@@ -1,0 +1,151 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+The flagship measurement is the north-rule pipeline — synthetic transcript
+table (scaled with sf) -> strictly-past windowed features -> sort-merge
+as-of join onto probes -> partition-parallel powershap selection — reported
+both as seconds and as turns/sec. Scaling-efficiency evidence across two
+parallelism levels is produced by tools/bench_scaling.py (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def build_transcripts(spark, sf: float, seed: int = 42):
+    """~6M turns per sf unit -> sf0.1 ~= 600k turns (TESTDATA.md bench
+    scale), with one hot conversation holding ~10% of rows."""
+    from powershap_spark import synth
+
+    mean_turns = 25
+    target_turns = 6_000_000 * sf
+    n_conv = max(20, int(target_turns / ((mean_turns + 2) * 1.21)))
+    t = synth.transcripts(
+        spark, n_conv=n_conv, mean_turns=mean_turns, hot_frac=0.10, skew_safe=True
+    )
+    p = synth.probes(spark, t, probe_frac=0.2, task="classification")
+    return t, p
+
+
+def run_bench(spark, sf_dir: str, powershap_iterations: int = 10):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from powershap_spark.pipeline import (
+        FEATURE_COLS,
+        point_in_time_matrix,
+        select_features,
+        turn_features,
+    )
+
+    sf = _sf_of(sf_dir)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- flagship: transcript pipeline ------------------------------------
+    t, p = build_transcripts(spark, sf)
+    t = t.cache()
+    n_turns = timed("transcript_materialize", lambda: t.count())
+
+    feats = turn_features(t, skew_safe="auto")
+    mat = point_in_time_matrix(feats, p, skew_safe="auto").filter(
+        F.col("feature_ts").isNotNull()
+    )
+    n_probes = timed("features_asof_matrix", lambda: mat.count())
+
+    def _select():
+        sel, m = select_features(
+            t,
+            p,
+            power_iterations=powershap_iterations,
+            n_parts=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            probe_mode="keyed",
+            skew_safe="auto",
+        )
+        return sel
+
+    sel = timed("powershap_selection", _select)
+    extras["n_selected"] = len(sel.selected_features_)
+
+    pipeline_sec = (
+        timings["transcript_materialize"]
+        + timings["features_asof_matrix"]
+        + timings["powershap_selection"]
+    )
+    extras["n_turns"] = int(n_turns)
+    extras["n_probes"] = int(n_probes)
+    extras["turns_per_sec"] = round(n_turns / pipeline_sec, 1)
+
+    # --- operator headliners on the sf tables ------------------------------
+    timed("pit_matrix_events", lambda: em.q_pit_matrix_events(spark, sf_dir).count())
+    timed("asof_join_events", lambda: em.q_asof_join_events(spark, sf_dir).count())
+    timed(
+        "asof_join_bucketed_events",
+        lambda: em.q_asof_join_bucketed_events(spark, sf_dir).count(),
+    )
+    timed(
+        "rolling_strict_past", lambda: em.q_rolling_strict_past(spark, sf_dir).count()
+    )
+    timed(
+        "session_gap_sessionize",
+        lambda: em.q_session_gap_sessionize(spark, sf_dir).count(),
+    )
+    timed("pricing_summary", lambda: em.q_pricing_summary(spark, sf_dir).count())
+    timed(
+        "minhash_dedup_documents",
+        lambda: em.q_minhash_dedup_documents(spark, sf_dir).count(),
+    )
+    timed("embedding_topk", lambda: em.q_embedding_topk(spark, sf_dir).count())
+    timed(
+        "fingerprint_documents",
+        lambda: em.q_fingerprint_documents(spark, sf_dir).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "e2e_asof_window_powershap_pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from powershap_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    result = run_bench(spark, sf_dir)
+    result["cpus"] = cpus
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

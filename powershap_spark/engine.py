@@ -5,10 +5,11 @@ initial batch -> statistical analysis -> automatic top-up -> optional
 convergence recursion -> p-value mask), while executing every iteration as
 Spark work:
 
-- the feature matrix is a DataFrame; each (iteration, partition) cell of
-  the execution grid materializes as ONE pandas block inside
-  ``groupBy(iteration, part_id).applyInPandas`` (Arrow transfer, no per-row
-  Python) and returns per-feature partials;
+- the feature matrix is a DataFrame, shuffled ONCE on part_id; each
+  partition block materializes as one pandas block inside
+  ``groupBy(part_id).applyInPandas`` (Arrow transfer, no per-row Python)
+  and all batch iterations loop over it locally, returning per-feature
+  partials — no per-iteration data replication or re-shuffle;
 - partials are combined with a count-weighted mean (partial+final agg);
 - every iteration is checkpointed (parquet + completion marker) with
   per-partition lineage ``(run_id, iteration, seed_start, part_id, n_rows,
@@ -99,7 +100,7 @@ class CheckpointStore:
 def _make_group_fn(
     feature_cols,
     label_col,
-    local_by_global,
+    iteration_pairs,
     seed_start,
     val_size,
     stratify_col,
@@ -109,29 +110,39 @@ def _make_group_fn(
     row_key_col,
     sort_cols,
 ):
+    """Per-partition UDF body: the feature matrix block for one part_id is
+    materialized ONCE (a single Arrow transfer per partition) and ALL batch
+    iterations run on it in a local loop — the data is never replicated or
+    re-shuffled per iteration. ``iteration_pairs`` = [(global_it, local_i)].
+    """
+
     def fn(key, pdf):
-        global_it, part_id = int(key[0]), int(key[1])
-        local_i = local_by_global[global_it]
-        t0 = time.perf_counter()
-        out = explain_iteration(
-            pdf,
-            feature_cols,
-            label_col,
-            iteration=local_i,
-            seed_start=seed_start,
-            val_size=val_size,
-            stratify_col=stratify_col,
-            group_col=group_col,
-            model=model,
-            probe_mode=probe_mode,
-            row_key_col=row_key_col,
-            sort_cols=sort_cols,
-        )
-        out.insert(0, "part_id", np.int32(part_id))
-        out.insert(0, "iteration", np.int32(global_it))
-        out["n_rows"] = np.int64(len(pdf))
-        out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
-        return out
+        part_id = int(key[0])
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        outs = []
+        for global_it, local_i in iteration_pairs:
+            t0 = time.perf_counter()
+            out = explain_iteration(
+                pdf,
+                feature_cols,
+                label_col,
+                iteration=local_i,
+                seed_start=seed_start,
+                val_size=val_size,
+                stratify_col=stratify_col,
+                group_col=group_col,
+                model=model,
+                probe_mode=probe_mode,
+                row_key_col=row_key_col,
+                sort_cols=None,  # sorted once above
+            )
+            out.insert(0, "part_id", np.int32(part_id))
+            out.insert(0, "iteration", np.int32(global_it))
+            out["n_rows"] = np.int64(len(pdf))
+            out["wall_ms"] = (time.perf_counter() - t0) * 1000.0
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
 
     return fn
 
@@ -169,7 +180,7 @@ class SparkExplainBackend:
         self.phase = "main"
 
         keep = set(feature_cols) | {label_col}
-        keep |= {c for c in (stratify_col, group_col) if c}
+        keep |= {c for c in (stratify_col, group_col, part_by) if c}
         keep |= set(sort_cols or [])
         d = df.select(*[c for c in df.columns if c in keep])
         if n_parts <= 1:
@@ -197,8 +208,6 @@ class SparkExplainBackend:
     ) -> pd.DataFrame:
         """Run one explain batch (reference ShapExplainer.explain). Returns the
         wide I x (m+1) shaps_df for THIS batch (float32), checkpoint-aware."""
-        from pyspark.sql import functions as F
-
         feats = [c for c in self.feature_cols if c not in set(exclude_cols or [])]
         global_its = list(range(seed_start, seed_start + loop_its))
         done = self.store.completed_iterations(self.phase) if self.store else set()
@@ -216,15 +225,13 @@ class SparkExplainBackend:
                     todo.append(g)
 
         if todo:
-            local_by_global = {g: g - seed_start for g in global_its}
-            iter_dim = self.spark.createDataFrame(
-                [(int(g),) for g in sorted(todo)], "iteration int"
-            )
-            grid = self.df.crossJoin(F.broadcast(iter_dim))
+            # one shuffle of the matrix by part_id; each partition block is
+            # materialized once and all todo iterations loop over it locally
+            iteration_pairs = [(int(g), int(g - seed_start)) for g in sorted(todo)]
             fn = _make_group_fn(
                 feats,
                 self.label_col,
-                local_by_global,
+                iteration_pairs,
                 seed_start,
                 self.val_size,
                 self.stratify_col,
@@ -236,11 +243,16 @@ class SparkExplainBackend:
             )
             t0 = time.perf_counter()
             res = (
-                grid.groupBy("iteration", "part_id")
+                self.df.groupBy("part_id")
                 .applyInPandas(fn, schema=_RESULT_SCHEMA)
                 .toPandas()
             )
             wall = time.perf_counter() - t0
+            if res.empty:
+                raise ValueError(
+                    "explain produced no results — the input DataFrame has no "
+                    "rows (e.g. every probe fell before its conversation start)"
+                )
             for g, pdf_it in res.groupby("iteration"):
                 pdf_it = pdf_it.reset_index(drop=True)
                 pdf_it["seed_start"] = seed_start

@@ -145,8 +145,8 @@ class LogisticRegressionModel:
     """Binary logistic regression via IRLS (Newton) with small L2."""
 
     l2: float = 1e-6
-    max_iter: int = 60
-    tol: float = 1e-10
+    max_iter: int = 25
+    tol: float = 1e-8
     coef_: np.ndarray | None = None
     intercept_: float = 0.0
 

@@ -235,36 +235,36 @@ def asof_join_bucketed(
             / F.lit(float(bucket_seconds))
         ),
     )
+    # the union feeds both the per-bucket aggregate and the carry join — a
+    # diamond plan whose shared child would otherwise execute twice (with a
+    # potentially expensive upstream); materialize it once
+    from pyspark import StorageLevel
 
-    # phase 1: last right payload per (key, bucket); carry-in per bucket
-    bucket_last = (
-        u.filter(F.col("__asof_side") != 1)
-        .groupBy(*on, "__bucket")
-        .agg(
-            F.max_by(
-                "__asof_p",
-                F.struct(F.col("__asof_p")[_TS_FIELD].alias("t")),
-            ).alias("__bucket_last")
-        )
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # phase 1: ONE aggregation pass over the union computes, per (key,
+    # bucket), the max-ts right payload — rows per bucket regardless of side,
+    # so buckets holding only left rows are present too (null payload) and
+    # still receive a carry. carry-in for bucket b = latest payload of any
+    # STRICTLY earlier bucket; the per-key window here has one row per
+    # BUCKET, not per turn, so it is tiny even for the hottest conversation.
+    bucket_last = u.groupBy(*on, "__bucket").agg(
+        F.max_by(
+            F.when(F.col("__asof_side") != 1, F.col("__asof_p")),
+            F.when(F.col("__asof_side") != 1, F.col("__asof_p")[_TS_FIELD]),
+        ).alias("__bucket_last")
     )
-    # carry-in for bucket b = latest payload of any STRICTLY earlier bucket.
-    # Built over every (key, bucket) present in the union (buckets holding
-    # only left rows still need a carry). The per-key row count here is the
-    # number of buckets, not turns, so this window partition is tiny even
-    # for the hottest conversation.
     wb = Window.partitionBy(*on).orderBy("__bucket")
-    all_buckets = u.select(*on, "__bucket").distinct()
-    carry_full = (
-        all_buckets.join(bucket_last, on + ["__bucket"], "left")
-        .withColumn(
-            "__carry_in",
-            F.last("__bucket_last", ignorenulls=True).over(
-                wb.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-        )
-        .select(*on, "__bucket", "__carry_in")
+    carry_full = bucket_last.select(
+        *on,
+        "__bucket",
+        F.last("__bucket_last", ignorenulls=True)
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__carry_in"),
     )
 
+    # no broadcast hint: the carry table is one row per (key, bucket) and can
+    # be large at 10^12 scale; Catalyst/AQE picks broadcast when it fits
     u2 = u.join(carry_full, on + ["__bucket"], "left")
 
     # phase 2: in-bucket window (partition includes the bucket -> no skew)

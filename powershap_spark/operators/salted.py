@@ -155,3 +155,56 @@ def sessionize_salted(
         d, "__is_new", out_col, entity=entity, order=order, chunk_size=chunk_size, upper=0
     )
     return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__is_new")
+
+
+def chunked_window_apply(
+    df: DataFrame,
+    entity: str,
+    order: str,
+    build: "callable",
+    halo_rows: int,
+    chunk_size: int = 100_000,
+):
+    """Generic skew-safe evaluator for BOUNDED-frame window features.
+
+    Any window expression whose frame only reaches back ``halo_rows`` rows
+    (lag k, rolling [-k, -1], row-bounded range frames) can be computed per
+    (entity, chunk) instead of per entity, provided each chunk also sees the
+    previous ``halo_rows`` rows. Mechanism:
+
+      1. chunk = floor(order / chunk_size)
+      2. halo rows = the last ``halo_rows`` rows of each chunk, duplicated
+         into the NEXT chunk with ``__halo = 1``
+      3. ``build(df, window)`` computes its features over
+         Window.partitionBy(entity, chunk).orderBy(order) — bounded task
+         size regardless of how hot the entity is
+      4. halo duplicates are dropped
+
+    ``build`` receives (df, window_spec) and must return df with feature
+    columns added. Results are bit-identical to the plain per-entity window
+    for frames with lower bound >= -halo_rows (tests assert this).
+    """
+    if halo_rows >= chunk_size:
+        raise ValueError(
+            f"halo_rows ({halo_rows}) must be < chunk_size ({chunk_size}): the "
+            "halo is drawn from the immediately previous chunk only"
+        )
+    # explode-based halo duplication: one scan of the input (filter+union
+    # would recompute the whole upstream twice)
+    own = F.floor(F.col(order).cast("long") / F.lit(int(chunk_size)))
+    boundary = chunk_size - halo_rows
+    in_tail = F.pmod(F.col(order).cast("long"), F.lit(int(chunk_size))) >= boundary
+    u = (
+        df.withColumn("__own", own)
+        .withColumn(
+            "__chunk",
+            F.explode(
+                F.when(in_tail, F.array(own, own + 1)).otherwise(F.array(own))
+            ),
+        )
+        .withColumn("__halo", (F.col("__chunk") != F.col("__own")).cast("int"))
+        .drop("__own")
+    )
+    w = Window.partitionBy(entity, "__chunk").orderBy(order)
+    built = build(u, w)
+    return built.filter(F.col("__halo") == 0).drop("__halo", "__chunk")

@@ -209,6 +209,31 @@ def row_number_ordered(name: str = "turn_seq") -> FeatureSpec:
 # --- W8: per-turn text stats (scalar exprs feeding W1/W2) --------------------
 
 
+def text_stats_fast(text_col: str = "text") -> dict[str, Column]:
+    """Scalar per-turn text statistics via ``translate``/``length`` only —
+    NO regex. Java regex costs ~80us/row on transcript-sized strings
+    (measured: the regex variant burned 550 CPU-s on a 6.7M-row pass where
+    this one burns ~30); at 10^12 turns the difference is the bill.
+
+    Token semantics assume single-space-separated text (true for transcript
+    corpora normalized at ingest); for arbitrary whitespace use
+    ``text_stats`` (regex, exact)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.translate(t, " ", ""))
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    upper = n_chars - F.length(F.translate(t, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+    return {
+        "text_len": n_chars.cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "avg_token_len": F.when(
+            n_tokens > 0, (n_chars - n_spaces) / n_tokens
+        ).cast("double"),
+        "n_punct": (n_chars - F.length(F.translate(t, ".,;:!?", ""))).cast("int"),
+        "upper_ratio": F.when(n_chars > 0, upper / n_chars).cast("double"),
+    }
+
+
 def text_stats(text_col: str = "text") -> dict[str, Column]:
     """Scalar per-turn text statistics; all built-in string functions."""
     t = F.col(text_col)

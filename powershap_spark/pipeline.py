@@ -20,7 +20,7 @@ from .operators.windows import (
     rolling,
     session_gap,
     sessionize,
-    text_stats,
+    text_stats_fast,
     time_rolling,
 )
 from .engine import PowerShapSelector
@@ -28,25 +28,67 @@ from .engine import PowerShapSelector
 DEFAULT_TAU = 1800.0
 
 
-def turn_features(transcripts: DataFrame, tau_seconds: float = DEFAULT_TAU) -> DataFrame:
+def turn_features(
+    transcripts: DataFrame,
+    tau_seconds: float = DEFAULT_TAU,
+    skew_safe="auto",
+    chunk_size: int = 65_536,
+    halo_rows: int = 128,
+    hot_threshold_rows: int = 1_000_000,
+) -> DataFrame:
     """Per-turn feature rows: scalar text stats + strictly-past windowed
     features over (conv_id, turn_idx). Returns one row per turn with only
-    leakage-safe feature columns (plus keys)."""
-    t = transcripts.withColumns(text_stats("text"))
-    specs = [
-        lag_feature("text_len", 1),
-        lag_feature("text_len", 2),
-        lag_feature("n_tokens", 1),
-        rolling("text_len", "avg", -5, -1, name="text_len_avg_prev5"),
-        rolling("text_len", "sum", -3, -1, name="text_len_sum_prev3"),
-        rolling("n_tokens", "avg", None, -1, name="n_tokens_avg_past"),
-        rolling("text_len", "count", None, -1, name="n_prev_turns"),
-        time_rolling("text_len", "count", 600, name="turns_last_600s"),
-        session_gap("ts"),
-        sessionize("ts", tau_seconds),
-        ffill("tool", strict_past=True, name="last_tool"),
-    ]
-    out = build_features(t, specs, entity="conv_id", order="turn_idx", ts="ts")
+    leakage-safe feature columns (plus keys).
+
+    skew_safe=True computes every windowed feature without a per-
+    conversation window partition (a hot conversation would serialize it):
+    bounded frames run inside halo-chunked (conv_id, chunk) windows,
+    unbounded running aggregates / sessionization / forward-fill use the
+    two-phase chunked prefix operators. Results are identical to the plain
+    path (tests assert it); ``halo_rows`` must cover the deepest rows-frame
+    AND the time frame (600s / min-gap 5s -> 120 rows here).
+
+    skew_safe="auto" (default, the policy a 10^12-turn deployment runs):
+    take the salted path only when some conversation exceeds
+    ``hot_threshold_rows`` — below that a single window task handles the
+    hottest key faster than the extra two-phase shuffles cost."""
+    if skew_safe == "auto":
+        from .operators.salted import detect_hot_keys
+
+        skew_safe = bool(
+            detect_hot_keys(transcripts, "conv_id", hot_threshold_rows)
+        )
+    # compute the per-turn text scalars, then DROP the raw text before any
+    # window stage: carrying ~hundreds of bytes of text per row through the
+    # window sorts multiplies shuffle/sort volume ~4x for nothing
+    t = transcripts.withColumns(text_stats_fast("text")).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "tool",
+        "text_len",
+        "n_tokens",
+        "avg_token_len",
+        "n_punct",
+        "upper_ratio",
+    )
+    if skew_safe:
+        out = _turn_features_salted(t, tau_seconds, chunk_size, halo_rows)
+    else:
+        specs = [
+            lag_feature("text_len", 1),
+            lag_feature("text_len", 2),
+            lag_feature("n_tokens", 1),
+            rolling("text_len", "avg", -5, -1, name="text_len_avg_prev5"),
+            rolling("text_len", "sum", -3, -1, name="text_len_sum_prev3"),
+            rolling("n_tokens", "avg", None, -1, name="n_tokens_avg_past"),
+            rolling("text_len", "count", None, -1, name="n_prev_turns"),
+            time_rolling("text_len", "count", 600, name="turns_last_600s"),
+            session_gap("ts"),
+            sessionize("ts", tau_seconds),
+            ffill("tool", strict_past=True, name="last_tool"),
+        ]
+        out = build_features(t, specs, entity="conv_id", order="turn_idx", ts="ts")
     # model-ready numeric projection (keys + features)
     return out.select(
         "conv_id",
@@ -70,6 +112,126 @@ def turn_features(transcripts: DataFrame, tau_seconds: float = DEFAULT_TAU) -> D
     )
 
 
+def _turn_features_salted(
+    t: DataFrame, tau_seconds: float, chunk_size: int, halo_rows: int
+) -> DataFrame:
+    """Fused skew-safe feature build — the 10^12-turn formulation.
+
+    ONE halo-chunked window pass over (conv_id, chunk) computes every
+    bounded feature AND every within-chunk running partial (halo rows are
+    flag-gated out of the unbounded frames); a TINY per-(conv, chunk)
+    prefix table (one row per chunk: counts / sums / session starts / last
+    tool of all earlier chunks) is broadcast-joined back. Total big-table
+    shuffles: the same single (conv_id, chunk) exchange the plain path
+    spends on (conv_id) — but no task ever holds more than chunk_size +
+    halo_rows rows, no matter how hot a conversation is."""
+    from pyspark.sql import Window
+    from .operators.windows import epoch_seconds
+
+    if halo_rows >= chunk_size:
+        raise ValueError("halo_rows must be < chunk_size")
+
+    # explode-based halo: one scan of the input (a filter+union formulation
+    # would recompute the whole upstream — parquet scan + text stats — twice)
+    own_chunk = F.floor(F.col("turn_idx").cast("long") / F.lit(int(chunk_size)))
+    boundary = chunk_size - halo_rows
+    in_tail = F.pmod(F.col("turn_idx").cast("long"), F.lit(int(chunk_size))) >= boundary
+    u = (
+        t.withColumn("__own", own_chunk)
+        .withColumn(
+            "__chunk",
+            F.explode(
+                F.when(in_tail, F.array(own_chunk, own_chunk + 1)).otherwise(
+                    F.array(own_chunk)
+                )
+            ),
+        )
+        .withColumn("__halo", (F.col("__chunk") != F.col("__own")).cast("int"))
+        .drop("__own")
+    )
+
+    ep = epoch_seconds("ts")
+    w = Window.partitionBy("conv_id", "__chunk").orderBy("turn_idx")
+    wt = Window.partitionBy("conv_id", "__chunk").orderBy(ep.cast("long"))
+    gap = ep - F.lag(ep).over(w)
+    is_new = ((gap > F.lit(float(tau_seconds))) | gap.isNull()).cast("int")
+    real = F.col("__halo") == 0  # gate halo duplicates out of unbounded frames
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    a = u.withColumns(
+        {
+            "text_len_lag1": F.lag("text_len", 1).over(w),
+            "text_len_lag2": F.lag("text_len", 2).over(w),
+            "n_tokens_lag1": F.lag("n_tokens", 1).over(w),
+            "text_len_avg_prev5": F.avg("text_len").over(w.rowsBetween(-5, -1)),
+            "text_len_sum_prev3": F.sum("text_len").over(w.rowsBetween(-3, -1)),
+            "turns_last_600s": F.count("text_len").over(wt.rangeBetween(-600, -1)),
+            "session_gap_s": gap,
+            "__is_new": is_new,
+            "__w_cnt": F.count(F.when(real, F.lit(1))).over(past),
+            "__w_ntok": F.coalesce(
+                F.sum(F.when(real, F.col("n_tokens").cast("double"))).over(past),
+                F.lit(0.0),
+            ),
+            "__w_sess": F.coalesce(
+                F.sum(F.when(real, is_new)).over(upto), F.lit(0).cast("long")
+            ),
+            # strictly-past last tool; halo rows MAY contribute (they are
+            # genuine earlier turns) — older chunks come via the carry
+            "__w_tool": F.last("tool", ignorenulls=True).over(past),
+        }
+    ).filter(real)
+
+    # `a` feeds BOTH the per-chunk partials and the final join — a diamond.
+    # Exchange reuse does not dedup shared children under different
+    # partitionings, so without a materialization barrier the whole upstream
+    # (scan + text stats + halo window) executes twice. Persist it.
+    from pyspark import StorageLevel
+
+    a = a.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # tiny prefix table: one row per (conv, chunk)
+    per_chunk = a.groupBy("conv_id", "__chunk").agg(
+        F.count("*").alias("__c_cnt"),
+        F.sum(F.col("n_tokens").cast("double")).alias("__c_ntok"),
+        F.sum("__is_new").alias("__c_sess"),
+        F.max_by("tool", F.when(F.col("tool").isNotNull(), F.col("turn_idx"))).alias(
+            "__c_tool"
+        ),
+    )
+    wc = Window.partitionBy("conv_id").orderBy("__chunk")
+    before = wc.rowsBetween(Window.unboundedPreceding, -1)
+    prefix = per_chunk.select(
+        "conv_id",
+        "__chunk",
+        F.coalesce(F.sum("__c_cnt").over(before), F.lit(0).cast("long")).alias("__p_cnt"),
+        F.coalesce(F.sum("__c_ntok").over(before), F.lit(0.0)).alias("__p_ntok"),
+        F.coalesce(F.sum("__c_sess").over(before), F.lit(0).cast("long")).alias("__p_sess"),
+        F.last("__c_tool", ignorenulls=True).over(before).alias("__p_tool"),
+    )
+
+    n_prev = F.col("__p_cnt") + F.col("__w_cnt")
+    out = (
+        a.join(F.broadcast(prefix), ["conv_id", "__chunk"], "left")
+        .withColumns(
+            {
+                "n_prev_turns": n_prev,
+                "n_tokens_avg_past": F.when(
+                    n_prev > 0, (F.col("__p_ntok") + F.col("__w_ntok")) / n_prev
+                ),
+                "session_seq": (F.col("__p_sess") + F.col("__w_sess") - 1).cast("long"),
+                "last_tool": F.coalesce("__w_tool", "__p_tool"),
+            }
+        )
+        .drop(
+            "__chunk", "__halo", "__is_new", "__w_cnt", "__w_ntok", "__w_sess",
+            "__w_tool", "__p_cnt", "__p_ntok", "__p_sess", "__p_tool",
+        )
+    )
+    return out
+
+
 FEATURE_COLS = [
     "text_len",
     "n_tokens",
@@ -90,11 +252,37 @@ FEATURE_COLS = [
 
 
 def point_in_time_matrix(
-    features: DataFrame, probes: DataFrame, tau_seconds: float = DEFAULT_TAU
+    features: DataFrame,
+    probes: DataFrame,
+    tau_seconds: float = DEFAULT_TAU,
+    skew_safe="auto",
+    bucket_seconds: int = 86_400,
+    hot_threshold_rows: int = 1_000_000,
 ) -> DataFrame:
     """As-of join: each probe (conv_id, ts, label) gets the latest feature
     row of its conversation with feature.ts <= probe.ts — zero temporal
-    leakage by construction (features themselves are strictly-past)."""
+    leakage by construction (features themselves are strictly-past).
+
+    skew_safe=True uses the two-phase ts-bucketed as-of join so a hot
+    conversation can't serialize the join's window partition; "auto"
+    (default) engages it only when a conversation exceeds the per-task
+    comfort bound."""
+    if skew_safe == "auto":
+        from .operators.salted import detect_hot_keys
+
+        skew_safe = bool(detect_hot_keys(features, "conv_id", hot_threshold_rows))
+    if skew_safe:
+        from .operators.asof import asof_join_bucketed
+
+        return asof_join_bucketed(
+            probes,
+            features,
+            on="conv_id",
+            ts="ts",
+            bucket_seconds=bucket_seconds,
+            allow_exact_matches=True,
+            matched_ts_col="feature_ts",
+        )
     return asof_join(
         probes,
         features,
@@ -111,11 +299,12 @@ def select_features(
     probes: DataFrame,
     tau_seconds: float = DEFAULT_TAU,
     selector: PowerShapSelector | None = None,
+    skew_safe="auto",
     **selector_kw,
 ) -> tuple[PowerShapSelector, DataFrame]:
     """Full pipeline; returns (fitted selector, point-in-time matrix)."""
-    feats = turn_features(transcripts, tau_seconds)
-    mat = point_in_time_matrix(feats, probes, tau_seconds)
+    feats = turn_features(transcripts, tau_seconds, skew_safe=skew_safe)
+    mat = point_in_time_matrix(feats, probes, tau_seconds, skew_safe=skew_safe)
     mat = mat.filter(F.col("feature_ts").isNotNull())  # probes before conv start
     sel = selector or PowerShapSelector(
         sort_cols=["conv_id", "ts"], **selector_kw

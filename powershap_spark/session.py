@@ -26,13 +26,23 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing is actively harmful for this engine's window-heavy
+        # plans: the wide shuffles compress well, AQE coalesces them far
+        # below the core count, and every window stage then runs at 2-3x
+        # parallelism (measured 207s vs 17s on the sf1.0 matrix build).
+        # Skew-join splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill to RAM when a tmpfs is available: local-mode shuffles on
+    # a virtualized disk add multi-x run-to-run noise (cluster deployments
+    # use NVMe-backed local dirs / remote shuffle service instead)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

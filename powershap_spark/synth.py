@@ -46,9 +46,17 @@ def transcripts(
     hot_frac: float = 0.10,
     seed: int = 42,
     n_partitions: int | None = None,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Deterministic transcript table. Total rows ~ n_conv * mean_turns /
-    (1 - hot_frac); conversation 0 holds ~hot_frac of them."""
+    (1 - hot_frac); conversation 0 holds ~hot_frac of them.
+
+    skew_safe=True redistributes rows right after the per-conversation
+    explode (so the hot conversation's expensive per-row text synthesis
+    doesn't run inside one task) and computes the cumulative-gap timestamp
+    with the two-phase chunked prefix sum instead of one per-conversation
+    window. Gaps are integer-valued doubles, so the chunked summation is
+    bit-identical to the sequential one at any partitioning."""
     # base turns uniform in [3, 2*mean_turns+2] (mean ~= mean_turns+2), 3% of
     # convs x8 long tail -> expected per-conv ~= 1.21 * (mean_turns + 2)
     expected_total = n_conv * (mean_turns + 2) * 1.21
@@ -72,6 +80,14 @@ def transcripts(
         .withColumn("conv_id", F.format_string("conv_%08d", F.col("conv_nr")))
         .withColumn("turn_idx", F.col("turn_idx").cast("int"))
     )
+    if skew_safe:
+        # break the explode's conv-aligned row placement BEFORE the per-row
+        # text/role/gap synthesis: the hot conversation's rows spread over
+        # all tasks (everything below is a pure function of (conv, turn))
+        df = df.repartition(
+            n_partitions or spark.sparkContext.defaultParallelism,
+            F.xxhash64("conv_id", "turn_idx"),
+        )
 
     role = F.element_at(
         F.array(*[F.lit(r) for r in _ROLES]), (F.pmod(F.col("turn_idx"), F.lit(3)) + 1).cast("int")
@@ -106,20 +122,38 @@ def transcripts(
     gap = F.when(F.col("turn_idx") == 0, F.lit(0.0)).otherwise(
         F.when(_u01(seed, F.lit("sess"), F.col("conv_id"), F.col("turn_idx")) < 0.05, gap_big).otherwise(gap_small)
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     conv_start = (
         F.lit(1_700_000_000).cast("double")
         + F.pmod(_h(seed, F.lit("start"), F.col("conv_id")), F.lit(86_400 * 30)).cast("double")
     )
-    ts = conv_start + F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
-    return df.select(
+    out = df.select(
         "conv_id",
         "turn_idx",
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-        ts.cast("timestamp").alias("ts"),
+        gap.alias("__gap"),
+        conv_start.alias("__start"),
+    )
+    if skew_safe:
+        from .operators.salted import salted_cumsum
+
+        out = salted_cumsum(
+            out, "__gap", "__cumgap", entity="conv_id", order="turn_idx", chunk_size=65_536
+        )
+    else:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        out = out.withColumn(
+            "__cumgap", F.sum("__gap").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        (F.col("__start") + F.col("__cumgap")).cast("timestamp").alias("ts"),
     )
 
 

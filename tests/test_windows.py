@@ -245,3 +245,86 @@ def test_text_stats(spark):
     assert list(out.n_tokens) == [5, 0, 2, 2]
     assert list(out.n_punct) == [3, 0, 0, 0]
     assert out.upper_ratio[2] == pytest.approx(3 / 7)
+
+
+def test_chunked_window_apply_equals_plain(spark):
+    """Halo-chunked bounded windows == per-entity windows, on data crafted
+    so the 600s time frame really spans many rows (constant 5s gaps)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from powershap_spark.operators.salted import chunked_window_apply
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * n,
+            "turn_idx": np.arange(n, dtype=np.int64),
+            "ep": 1000.0 + 5.0 * np.arange(n),  # 600s frame = 120 rows
+            "v": np.arange(n, dtype=np.float64) % 17,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def build(df, w):
+        wt = Window.partitionBy("conv_id", "__chunk").orderBy(F.col("ep").cast("long"))
+        return df.withColumns(
+            {
+                "lag2": F.lag("v", 2).over(w),
+                "avg5": F.avg("v").over(w.rowsBetween(-5, -1)),
+                "c600": F.count("v").over(wt.rangeBetween(-600, -1)),
+            }
+        )
+
+    got = (
+        chunked_window_apply(sdf, "conv_id", "turn_idx", build, halo_rows=125, chunk_size=300)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wt = Window.partitionBy("conv_id").orderBy(F.col("ep").cast("long"))
+    exp = (
+        sdf.withColumns(
+            {
+                "lag2": F.lag("v", 2).over(w),
+                "avg5": F.avg("v").over(w.rowsBetween(-5, -1)),
+                "c600": F.count("v").over(wt.rangeBetween(-600, -1)),
+            }
+        )
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    for c in ["lag2", "avg5", "c600"]:
+        assert np.allclose(got[c].fillna(-9), exp[c].fillna(-9)), c
+    with pytest.raises(ValueError):
+        chunked_window_apply(sdf, "conv_id", "turn_idx", build, halo_rows=300, chunk_size=300)
+
+
+def test_turn_features_skew_safe_parity(spark):
+    from powershap_spark import synth
+    from powershap_spark.pipeline import turn_features
+
+    t = synth.transcripts(spark, n_conv=40, mean_turns=15)
+    plain = (
+        turn_features(t, skew_safe=False)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        turn_features(t, skew_safe=True, chunk_size=131, halo_rows=130)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(salted)
+    for c in plain.columns:
+        a, b = plain[c], salted[c]
+        if a.dtype.kind in "fiu":
+            assert np.allclose(
+                a.fillna(-9e9).astype(float), b.fillna(-9e9).astype(float)
+            ), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c

@@ -1,0 +1,158 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the evidence is the SAME job on
+the SAME input at two parallelism levels — local[N] and local[4N] — in
+fresh JVMs, reporting throughput at both plus
+efficiency = T(N) / (4 * T(4N)).
+
+Two measurements, each min-of-REPEAT (this host's wall-clock fluctuates
+2-4x between identical runs; the minimum is the standard noise-robust
+benchmark estimator):
+
+  full      — transcript parquet -> windowed features -> as-of join ->
+              10-iteration powershap selection (tools/profile_pipeline.py)
+  selection — the partition-parallel powershap loop alone (40 iterations
+              on the cached point-in-time matrix): the phase that
+              dominates real selection runs (automatic mode raises the
+              iteration count, the matrix is built once)
+
+Writes BENCH/BASELINE.md. Usage:
+  python tools/bench_scaling.py [N] [sf] [repeat]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SEL_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, ".")
+for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[v] = "1"
+cpus = int(os.environ["SPARK_GRAFT_CPUS"]); sf = os.environ["BENCH_SF"]
+from powershap_spark.session import get_spark
+from powershap_spark.pipeline import turn_features, point_in_time_matrix, FEATURE_COLS
+from powershap_spark.engine import SparkExplainBackend
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"sel{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+t = spark.read.parquet(f"/tmp/bench_input_sf{sf}/transcripts")
+p = spark.read.parquet(f"/tmp/bench_input_sf{sf}/probes")
+mat = point_in_time_matrix(turn_features(t, skew_safe=False), p, skew_safe=False) \
+        .filter(F.col("feature_ts").isNotNull())
+be = SparkExplainBackend(mat, FEATURE_COLS, "label", n_parts=128,
+                         probe_mode="keyed", sort_cols=["conv_id", "ts"])
+n = be.df.count()
+be.explain(5, 0)  # warm python workers + codegen
+t0 = time.perf_counter(); be.explain(40, 100); d = time.perf_counter() - t0
+print("RESULT " + json.dumps({"cpus": cpus, "rows": n, "sec": round(d, 2),
+      "row_iters_per_sec": round(n * 40 / d, 1)}))
+"""
+
+
+def _run(cmd, env_extra):
+    env = dict(os.environ, **env_extra)
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=ROOT, timeout=900
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(f"no RESULT (rc={out.returncode}):\n{out.stderr[-1500:]}")
+
+
+def full_run(cpus, sf):
+    return _run(
+        [sys.executable, "tools/profile_pipeline.py", str(cpus), str(sf), "auto"],
+        {"SPARK_DRIVER_MEM": "48g"},
+    )
+
+
+def sel_run(cpus, sf):
+    return _run(
+        [sys.executable, "-c", SEL_CHILD],
+        {"SPARK_DRIVER_MEM": "48g", "SPARK_GRAFT_CPUS": str(cpus), "BENCH_SF": str(sf)},
+    )
+
+
+def best_of(fn, cpus, sf, repeat):
+    runs = [fn(cpus, sf) for _ in range(repeat)]
+    best = min(runs, key=lambda r: r["sec"])
+    best["all_secs"] = [r["sec"] for r in runs]
+    return best
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    fs = best_of(full_run, n, sf, repeat)
+    fl = best_of(full_run, 4 * n, sf, repeat)
+    ss = best_of(sel_run, n, sf, repeat)
+    sl = best_of(sel_run, 4 * n, sf, repeat)
+    f_eff = fs["sec"] / (4 * fl["sec"])
+    s_eff = ss["sec"] / (4 * sl["sec"])
+
+    lines = [
+        "# BENCH baseline — scaling-efficiency evidence",
+        "",
+        "North rule: >=0.8 throughput scaling efficiency from N to 4N",
+        "executors. No multi-executor cluster exists in this sandbox; the",
+        f"evidence is the same job, same input (sf={sf}, "
+        f"{fs.get('n_turns', 'n/a')} turns, one hot conversation with ~10% of",
+        "rows), at local[N] vs local[4N] in fresh JVMs, min of "
+        f"{repeat} runs (this host's wall-clock fluctuates 2-4x between",
+        "identical runs; all raw timings listed).",
+        "",
+        "## Full pipeline (parquet scan -> strictly-past windowed features ->",
+        "sort-merge as-of join -> 10-iteration partition-parallel powershap)",
+        "",
+        "| parallelism | wall (s) | turns/sec | raw runs (s) |",
+        "|---|---|---|---|",
+        f"| local[{n}] | {fs['sec']} | {fs['turns_per_sec']} | {fs['all_secs']} |",
+        f"| local[{4*n}] | {fl['sec']} | {fl['turns_per_sec']} | {fl['all_secs']} |",
+        "",
+        f"**efficiency = {fs['sec']}/(4 x {fl['sec']}) = {f_eff:.3f}**",
+        "",
+        "## Selection phase (40 powershap iterations, 128-way partition",
+        "grid over the point-in-time matrix — the phase that dominates",
+        "automatic-mode runs at scale)",
+        "",
+        "| parallelism | wall (s) | probe-row-iterations/sec | raw runs (s) |",
+        "|---|---|---|---|",
+        f"| local[{n}] | {ss['sec']} | {ss['row_iters_per_sec']} | {ss['all_secs']} |",
+        f"| local[{4*n}] | {sl['sec']} | {sl['row_iters_per_sec']} | {sl['all_secs']} |",
+        "",
+        f"**efficiency = {ss['sec']}/(4 x {sl['sec']}) = {s_eff:.3f}**",
+        "",
+        "## Notes",
+        "",
+        '- Skew policy: `skew_safe="auto"` — per-conversation windows',
+        "  while no conversation exceeds the per-task bound, halo-chunked /",
+        "  two-phase operators beyond it (correctness of the salted path is",
+        "  test-asserted identical; its crossover lies above sandbox scale).",
+        "- The full pipeline's efficiency is bounded by the planted hot",
+        "  conversation (10% of ALL rows in one window partition): Amdahl on",
+        "  the straggler task, by design of the skew fixture.",
+        "- Shuffle dirs on tmpfs (/dev/shm): local-mode shuffle on the",
+        "  sandbox's virtualized disk adds multi-x noise; cluster deployments",
+        "  use NVMe local dirs or a remote shuffle service.",
+    ]
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(
+        json.dumps(
+            {"full_eff": round(f_eff, 3), "sel_eff": round(s_eff, 3),
+             "full": [fs, fl], "sel": [ss, sl]}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
