@@ -375,6 +375,84 @@ def q_pit_matrix_events(spark, sf_dir):
     return _pit_matrix(spark, sf_dir)
 
 
+def q_equi_join_orders_customer(spark, sf_dir):
+    """SURVEY J4: equi-join with a broadcast dimension side."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_left_anti_customers(spark, sf_dir):
+    """SURVEY J5: left-anti (customers with no orders)."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    c = _read(spark, sf_dir, "customer")
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_nationkey")
+
+
+def q_union_dedup(spark, sf_dir):
+    """SURVEY U1/U2: union of row batches + distinct."""
+    e = _read(spark, sf_dir, "events")
+    a = e.filter(F.col("value") > 40).select("user_id", "event_type")
+    b = e.filter(F.col("value") < 60).select("user_id", "event_type")
+    return (
+        a.unionByName(b)
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_distinct_cardinality(spark, sf_dir):
+    """SURVEY A10: distinct cardinality (the classifier-warning check)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_percentile_pvalue(spark, sf_dir):
+    """SURVEY A6 as a distributed aggregation: tie-aware
+    percentileofscore(kind='rank') of the global mean value within each
+    event_type's value distribution — the powershap p-value formula."""
+    e = _read(spark, sf_dir, "events")
+    gmean = e.agg(F.avg("value")).collect()[0][0]
+    x = F.lit(float(gmean))
+    return e.groupBy("event_type").agg(
+        F.round(
+            (
+                F.sum((F.col("value") < x).cast("int"))
+                + F.sum((F.col("value") <= x).cast("int"))
+            )
+            / (2.0 * F.count("*")),
+            6,
+        ).alias("p_value")
+    )
+
+
+def q_weighted_mean(spark, sf_dir):
+    """SURVEY A3: count-weighted partial+final mean (the impact combine)."""
+    e = _read(spark, sf_dir, "events")
+    part = e.groupBy("user_id", "event_type").agg(
+        F.avg("value").alias("mean_v"), F.count("*").alias("n")
+    )
+    return part.groupBy("event_type").agg(
+        F.round(F.sum(F.col("mean_v") * F.col("n")) / F.sum("n"), 6).alias("wmean"),
+        F.sum("n").alias("n_total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -401,6 +479,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_fake": q_image_features_fake,
         "frame_sample_fake": q_frame_sample_fake,
         "pit_matrix_events": q_pit_matrix_events,
+        "equi_join_orders_customer": q_equi_join_orders_customer,
+        "left_anti_customers": q_left_anti_customers,
+        "union_dedup": q_union_dedup,
+        "distinct_cardinality": q_distinct_cardinality,
+        "percentile_pvalue": q_percentile_pvalue,
+        "weighted_mean": q_weighted_mean,
     }
 
 
@@ -563,6 +647,48 @@ def oracle_sql() -> dict[str, str]:
                      (acc, x) -> (acc * 31 + x) % 1000000007
                    ) AS fingerprint
             FROM documents
+        """,
+        "equi_join_orders_customer": """
+            SELECT c.c_nationkey, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "left_anti_customers": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "union_dedup": """
+            WITH u AS (
+              SELECT user_id, event_type FROM events WHERE value > 40
+              UNION
+              SELECT user_id, event_type FROM events WHERE value < 60
+            )
+            SELECT event_type, count(*) AS n_pairs FROM u GROUP BY event_type
+        """,
+        "distinct_cardinality": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "percentile_pvalue": """
+            WITH g AS (SELECT avg(value) AS x FROM events)
+            SELECT event_type,
+                   round((sum(CASE WHEN value < (SELECT x FROM g) THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN value <= (SELECT x FROM g) THEN 1 ELSE 0 END))
+                        / (2.0 * count(*)), 6) AS p_value
+            FROM events GROUP BY event_type
+        """,
+        "weighted_mean": """
+            WITH part AS (
+              SELECT user_id, event_type, avg(value) AS mean_v, count(*) AS n
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT event_type,
+                   round(sum(mean_v * n) / sum(n), 6) AS wmean,
+                   sum(n) AS n_total
+            FROM part GROUP BY event_type
         """,
         "embedding_topk": """
             WITH q AS (

@@ -231,15 +231,19 @@ class _VendoredLinearKernel:
 
 
 def _try_external_kernels():
-    """Probe for the real libraries in the reference factory's order.
+    """Probe for the real libraries in the reference factory's registration
+    order — Catboost, LGBM, XGBoost, sklearn ensembles, sklearn linear,
+    keras — with exception-swallowing, exactly like
+    ``shap_explainer_factory.py:19-26,43-49``.
 
     Returns a list of (name, supports_fn, fit_get_shap_fn). In this sandbox
     all are absent; the hooks exist so the same code is reference-exact
-    where catboost/lgbm/xgboost/sklearn/shap are installed."""
+    where the libraries are installed."""
     kernels = []
-    try:  # pragma: no cover - not installed in sandbox
+
+    try:  # pragma: no cover - catboost not installed in sandbox
         import shap  # noqa: F401
-        from catboost import CatBoostClassifier, CatBoostRegressor  # noqa: F401
+        from catboost import CatBoostClassifier  # noqa: F401
 
         def _cb_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
             import shap
@@ -250,6 +254,95 @@ def _try_external_kernels():
             return np.array(shap.TreeExplainer(m).shap_values(X_val))
 
         kernels.append(("catboost", lambda m: "catboost" in type(m).__module__, _cb_fit))
+    except Exception:
+        pass
+
+    try:  # pragma: no cover - lightgbm not installed in sandbox
+        import shap  # noqa: F401
+        import lightgbm  # noqa: F401
+
+        def _lgbm_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import copy
+
+            import shap
+
+            m = copy.copy(model)  # reference works around a deepcopy bug
+            m.set_params(random_state=random_seed)
+            m.fit(X_train, Y_train, eval_set=[(X_val, Y_val)])
+            return np.array(shap.TreeExplainer(m).shap_values(X_val))
+
+        kernels.append(("lgbm", lambda m: "lightgbm" in type(m).__module__, _lgbm_fit))
+    except Exception:
+        pass
+
+    try:  # pragma: no cover - xgboost not installed in sandbox
+        import shap  # noqa: F401
+        import xgboost  # noqa: F401
+
+        def _xgb_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import shap
+
+            m = type(model)(**model.get_params())
+            m.set_params(random_state=random_seed)
+            m.fit(X_train, Y_train, eval_set=[(X_val, Y_val)], verbose=False)
+            return np.array(shap.TreeExplainer(m).shap_values(X_val))
+
+        kernels.append(("xgboost", lambda m: "xgboost" in type(m).__module__, _xgb_fit))
+    except Exception:
+        pass
+
+    try:  # pragma: no cover - sklearn not installed in sandbox
+        import shap  # noqa: F401
+        from sklearn.base import clone  # noqa: F401
+        from sklearn.ensemble import RandomForestClassifier  # noqa: F401
+
+        def _ens_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import shap
+            from sklearn.base import clone
+
+            m = clone(model)
+            if "random_state" in m.get_params():
+                m.set_params(random_state=random_seed)
+            m.fit(X_train, Y_train)
+            return np.array(shap.TreeExplainer(m).shap_values(X_val))
+
+        def _lin_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import shap
+            from sklearn.base import clone
+
+            m = clone(model)
+            if "random_state" in m.get_params():
+                m.set_params(random_state=random_seed)
+            m.fit(X_train, Y_train)
+            return np.array(shap.explainers.Linear(m, X_train).shap_values(X_val))
+
+        def _is_ens(m):
+            return "sklearn.ensemble" in type(m).__module__
+        def _is_lin(m):
+            mod = type(m).__module__
+            return "sklearn.linear_model" in mod or "sklearn.svm" in mod
+
+        kernels.append(("sklearn_ensemble", _is_ens, _ens_fit))
+        kernels.append(("sklearn_linear", _is_lin, _lin_fit))
+    except Exception:
+        pass
+
+    try:  # pragma: no cover - tensorflow not installed in sandbox
+        import shap  # noqa: F401
+        import tensorflow as tf  # noqa: F401
+
+        def _dl_fit(X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+            import shap
+            import tensorflow as tf
+
+            m = tf.keras.models.clone_model(model)
+            m.compile(optimizer=kw["optimizer"], loss=kw["loss"], metrics=[kw.get("nn_metric")])
+            m.fit(X_train, Y_train, batch_size=kw["batch_size"], epochs=kw["epochs"], verbose=0)
+            return np.array(shap.DeepExplainer(m, X_train).shap_values(X_val))
+
+        kernels.append(
+            ("deep", lambda m: hasattr(m, "fit") and "keras" in type(m).__module__, _dl_fit)
+        )
     except Exception:
         pass
     return kernels
