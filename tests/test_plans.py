@@ -1,0 +1,94 @@
+"""Physical-plan assertions: predicate pushdown reaches the parquet scan,
+column pruning trims ReadSchema, a multi-feature window block costs exactly
+one exchange, and the small dimension side of an equi-join broadcasts."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # pruned scan: only the 3 referenced columns, not all 11
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in rs and "l_extendedprice" in rs and "l_shipdate" in rs
+    assert "l_partkey" not in rs and "l_quantity" not in rs
+
+
+def test_window_block_single_exchange(spark):
+    from powershap_spark.operators.windows import (
+        build_features,
+        lag_feature,
+        rolling,
+        session_gap,
+        sessionize,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id", "ts", "value")
+    out = build_features(
+        e,
+        [
+            lag_feature("value", 1),
+            rolling("value", "avg", -3, -1, name="a3"),
+            rolling("value", "sum", None, -1, name="cs"),
+            session_gap("ts"),
+            sessionize("ts", 1800.0),
+        ],
+        entity="user_id",
+        order="ts",
+    )
+    p = _plan(out)
+    # all five features share one partitioning: exactly one shuffle
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_broadcast_dim_join(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_selection_single_shuffle_to_udf(spark, clf_xy):
+    """The explain batch = one exchange on part_id feeding one Arrow
+    grouped-map UDF — no per-iteration replication of the matrix."""
+    import numpy as np
+    import pandas as pd
+
+    from powershap_spark.engine import SparkExplainBackend, _make_group_fn, _RESULT_SCHEMA
+
+    X, y = clf_xy
+    pdf = X.copy()
+    pdf["label"] = y
+    pdf["row_id"] = np.arange(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    be = SparkExplainBackend(sdf, list(X.columns), "label", n_parts=4, sort_cols=["row_id"])
+    fn = _make_group_fn(
+        list(X.columns), "label", [(0, 0), (1, 1)], 0, 0.2, None, None, None,
+        "positional", None, ["row_id"],
+    )
+    out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
+    p = _plan(out)
+    import re
+
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1

@@ -79,9 +79,19 @@ def sel_run(cpus, sf):
     )
 
 
-def best_of(fn, cpus, sf, repeat):
-    runs = [fn(cpus, sf) for _ in range(repeat)]
-    best = min(runs, key=lambda r: r["sec"])
+def best_of(fn, kind, cpus, sf, repeat):
+    """min-of-repeat, incrementally cached to BENCH/raw_{kind}_{cpus}.json so
+    the suite can be (re)run one measurement at a time (each child run takes
+    1-4 min; driver command timeouts would otherwise lose everything)."""
+    path = os.path.join(ROOT, "BENCH", f"raw_{kind}_{cpus}.json")
+    runs = []
+    if os.path.exists(path):
+        runs = json.load(open(path))
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    while len(runs) < repeat:
+        runs.append(fn(cpus, sf))
+        json.dump(runs, open(path, "w"))
+    best = dict(min(runs, key=lambda r: r["sec"]))
     best["all_secs"] = [r["sec"] for r in runs]
     return best
 
@@ -91,10 +101,10 @@ def main():
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    fs = best_of(full_run, n, sf, repeat)
-    fl = best_of(full_run, 4 * n, sf, repeat)
-    ss = best_of(sel_run, n, sf, repeat)
-    sl = best_of(sel_run, 4 * n, sf, repeat)
+    fs = best_of(full_run, "full", n, sf, repeat)
+    fl = best_of(full_run, "full", 4 * n, sf, repeat)
+    ss = best_of(sel_run, "sel", n, sf, repeat)
+    sl = best_of(sel_run, "sel", 4 * n, sf, repeat)
     f_eff = fs["sec"] / (4 * fl["sec"])
     s_eff = ss["sec"] / (4 * sl["sec"])
 

@@ -1,0 +1,72 @@
+"""Dump explain('formatted') physical plans of the headline queries to
+PLANS.md — the artifact showing pushdown/pruning/broadcast/shuffle shape
+(predicate pushdown into parquet, pruned ReadSchema, broadcast joins where
+a side is small, a single exchange per window block, Arrow-batched UDF
+stages)."""
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    import __spark_entry__ as em
+    from powershap_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    sf = "/root/testdata/sf0.001"
+
+    sections = []
+
+    # 1. pushdown + pruning: filter + 2-column projection on lineitem
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    sections.append(("filter+projection pushdown (lineitem)", plan_of(li)))
+
+    sections.append(
+        ("as-of join (union+window sort-merge)", plan_of(em.q_asof_join_events(spark, sf)))
+    )
+    sections.append(
+        ("broadcast as-of variant", plan_of(em.q_asof_join_broadcast_events(spark, sf)))
+    )
+    sections.append(
+        ("windowed features block (single exchange)", plan_of(em.q_rolling_strict_past(spark, sf)))
+    )
+    sections.append(
+        ("point-in-time feature matrix (flagship)", plan_of(em.entry(spark)))
+    )
+    sections.append(
+        ("broadcast equi-join", plan_of(em.q_equi_join_orders_customer(spark, sf)))
+    )
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# Physical plans (explain 'formatted') — pushdown / broadcast /"
+            " shuffle-shape evidence\n\nRegenerate: `python tools/dump_plans.py`."
+            " Things to check:\n"
+            "- parquet scans carry `PushedFilters` and a pruned `ReadSchema`\n"
+            "- small sides go through `BroadcastExchange` / BroadcastHashJoin\n"
+            "- each window block costs ONE `Exchange hashpartitioning` + sort\n"
+            "- the selection kernel appears as a single Arrow"
+            " `FlatMapGroupsInPandas` after one exchange\n\n"
+        )
+        for title, text in sections:
+            f.write(f"## {title}\n\n```\n{text}\n```\n\n")
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
