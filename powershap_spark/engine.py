@@ -164,6 +164,7 @@ class SparkExplainBackend:
         probe_mode: str = "positional",
         sort_cols: list[str] | None = None,
         store: CheckpointStore | None = None,
+        min_rows_per_part: int = 500,
     ):
         from pyspark.sql import functions as F
 
@@ -176,8 +177,15 @@ class SparkExplainBackend:
         self.probe_mode = probe_mode
         self.sort_cols = sort_cols
         self.store = store
-        self.n_parts = n_parts
         self.phase = "main"
+
+        # a partition-parallel fit on a handful of rows is statistical noise:
+        # clamp n_parts so every partition model sees >= min_rows_per_part
+        # rows (the count is one cheap pushed-down action)
+        if n_parts > 1:
+            n_rows = df.count()
+            n_parts = max(1, min(n_parts, n_rows // max(1, min_rows_per_part)))
+        self.n_parts = n_parts
 
         keep = set(feature_cols) | {label_col}
         keep |= {c for c in (stratify_col, group_col, part_by) if c}
