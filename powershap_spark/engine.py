@@ -179,27 +179,10 @@ class SparkExplainBackend:
         self.store = store
         self.phase = "main"
 
-        # a partition-parallel fit on a handful of rows is statistical noise:
-        # clamp n_parts so every partition model sees >= min_rows_per_part
-        # rows (the count is one cheap pushed-down action)
-        if n_parts > 1:
-            n_rows = df.count()
-            n_parts = max(1, min(n_parts, n_rows // max(1, min_rows_per_part)))
-        self.n_parts = n_parts
-
         keep = set(feature_cols) | {label_col}
         keep |= {c for c in (stratify_col, group_col, part_by) if c}
         keep |= set(sort_cols or [])
         d = df.select(*[c for c in df.columns if c in keep])
-        if n_parts <= 1:
-            d = d.withColumn("part_id", F.lit(0))
-        elif part_by:
-            d = d.withColumn("part_id", F.pmod(F.xxhash64(part_by), F.lit(n_parts)).cast("int"))
-        else:
-            d = d.withColumn(
-                "part_id",
-                F.pmod(F.xxhash64(*[F.col(c) for c in (sort_cols or feature_cols)]), F.lit(n_parts)).cast("int"),
-            )
         self.row_key_col = None
         if probe_mode == "keyed":
             key_cols = sort_cols or feature_cols
@@ -207,6 +190,24 @@ class SparkExplainBackend:
             self.row_key_col = "__row_key"
         self.df = d.cache()
         self.spark = df.sparkSession
+
+        # a partition-parallel fit on a handful of rows is statistical noise:
+        # clamp n_parts so every partition model sees >= min_rows_per_part
+        # rows. The count runs on the just-cached projection, so it doubles
+        # as the cache materialization — no extra pipeline evaluation.
+        if n_parts > 1:
+            n_rows = self.df.count()
+            n_parts = max(1, min(n_parts, n_rows // max(1, min_rows_per_part)))
+        self.n_parts = n_parts
+        if n_parts <= 1:
+            self.part_expr = F.lit(0)
+        elif part_by:
+            self.part_expr = F.pmod(F.xxhash64(part_by), F.lit(n_parts)).cast("int")
+        else:
+            self.part_expr = F.pmod(
+                F.xxhash64(*[F.col(c) for c in (sort_cols or feature_cols)]),
+                F.lit(n_parts),
+            ).cast("int")
 
     def explain(
         self,
@@ -251,7 +252,8 @@ class SparkExplainBackend:
             )
             t0 = time.perf_counter()
             res = (
-                self.df.groupBy("part_id")
+                self.df.withColumn("part_id", self.part_expr)
+                .groupBy("part_id")
                 .applyInPandas(fn, schema=_RESULT_SCHEMA)
                 .toPandas()
             )

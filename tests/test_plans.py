@@ -86,7 +86,11 @@ def test_selection_single_shuffle_to_udf(spark, clf_xy):
         list(X.columns), "label", [(0, 0), (1, 1)], 0, 0.2, None, None, None,
         "positional", None, ["row_id"],
     )
-    out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
+    out = (
+        be.df.withColumn("part_id", be.part_expr)
+        .groupBy("part_id")
+        .applyInPandas(fn, schema=_RESULT_SCHEMA)
+    )
     p = _plan(out)
     import re
 
