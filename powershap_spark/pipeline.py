@@ -300,9 +300,18 @@ def select_features(
     tau_seconds: float = DEFAULT_TAU,
     selector: PowerShapSelector | None = None,
     skew_safe="auto",
+    hot_threshold_rows: int = 1_000_000,
     **selector_kw,
 ) -> tuple[PowerShapSelector, DataFrame]:
-    """Full pipeline; returns (fitted selector, point-in-time matrix)."""
+    """Full pipeline; returns (fitted selector, point-in-time matrix).
+
+    The skew policy is resolved ONCE here, on the raw transcript table (a
+    cheap pushed-down count) — resolving it per stage would re-evaluate the
+    feature pipeline just to count rows per conversation."""
+    if skew_safe == "auto":
+        from .operators.salted import detect_hot_keys
+
+        skew_safe = bool(detect_hot_keys(transcripts, "conv_id", hot_threshold_rows))
     feats = turn_features(transcripts, tau_seconds, skew_safe=skew_safe)
     mat = point_in_time_matrix(feats, probes, tau_seconds, skew_safe=skew_safe)
     mat = mat.filter(F.col("feature_ts").isNotNull())  # probes before conv start
