@@ -334,13 +334,26 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=4)
 
 
+_FIXTURE_DIR = "/root/repo/tests/fixtures"
+
+
 def q_transcript_features(spark, sf_dir):
-    from powershap_spark import synth
+    """The transcript feature pipeline (turn_features + point-in-time as-of
+    matrix) over the committed deterministic synth fixture — which the DuckDB
+    oracle reads via read_parquet, replicating every window + the ASOF join.
+    Floats rounded to 6 on both sides."""
     from powershap_spark.pipeline import point_in_time_matrix, turn_features
 
-    t = synth.transcripts(spark, n_conv=60, mean_turns=15)
-    p = synth.probes(spark, t, probe_frac=0.25)
-    return point_in_time_matrix(turn_features(t), p)
+    t = spark.read.parquet(f"{_FIXTURE_DIR}/transcripts_small.parquet")
+    p = spark.read.parquet(f"{_FIXTURE_DIR}/probes_small.parquet")
+    out = point_in_time_matrix(turn_features(t), p)
+    dbl = [f.name for f in out.schema.fields if f.dataType.typeName() == "double"]
+    return out.select(
+        *[
+            F.round(c, 6).alias(c) if c in dbl else F.col(c)
+            for c in out.columns
+        ]
+    )
 
 
 def q_powershap_selection(spark, sf_dir):
@@ -372,7 +385,22 @@ def q_frame_sample_fake(spark, sf_dir):
 
 
 def q_pit_matrix_events(spark, sf_dir):
-    return _pit_matrix(spark, sf_dir)
+    """The flagship point-in-time matrix, with float features rounded to 6
+    decimals so the driver's value-hash compare is robust to engine-level
+    float summation order (same rounding in the DuckDB oracle)."""
+    out = _pit_matrix(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "label",
+        "feature_ts",
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_avg_prev3", 6).alias("value_avg_prev3"),
+        F.col("n_prev_events"),
+        F.round("session_gap_s", 6).alias("session_gap_s"),
+        F.col("session_seq"),
+    )
 
 
 def q_equi_join_orders_customer(spark, sf_dir):
@@ -541,9 +569,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, event_id, round(gap_s, 6) AS gap_s,
-                   sum(CASE WHEN gap_s > 1800.0 OR gap_s IS NULL THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN gap_s > 1800.0 OR gap_s IS NULL THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                     AS BIGINT) AS session_seq
             FROM g
         """,
         "ffill_strict_past": """
@@ -553,6 +582,46 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
                      AS last_purchase_value
             FROM events
+        """,
+        "pit_matrix_events": """
+            WITH fb AS (
+              SELECT user_id, ts, event_id, value::DOUBLE AS value
+              FROM events WHERE event_type <> 'purchase'
+            ), fw AS (
+              SELECT user_id, ts,
+                     lag(value) OVER w AS value_lag1,
+                     avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS value_avg_prev3,
+                     count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS n_prev_events,
+                     epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+              FROM fb
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), f AS (
+              SELECT user_id, ts,
+                     coalesce(value_lag1, 0.0) AS value_lag1,
+                     coalesce(value_avg_prev3, 0.0) AS value_avg_prev3,
+                     n_prev_events::DOUBLE AS n_prev_events,
+                     coalesce(gap_s, 0.0) AS session_gap_s,
+                     CAST(sum(CASE WHEN gap_s > 1800.0 OR gap_s IS NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS DOUBLE) AS session_seq
+              FROM fw
+            ), probes AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS label
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.ts, p.event_id, p.label,
+                   f.ts AS feature_ts,
+                   round(f.value_lag1, 6) AS value_lag1,
+                   round(f.value_avg_prev3, 6) AS value_avg_prev3,
+                   f.n_prev_events,
+                   round(f.session_gap_s, 6) AS session_gap_s,
+                   f.session_seq
+            FROM probes p ASOF LEFT JOIN f
+              ON p.user_id = f.user_id AND p.ts >= f.ts
         """,
         "asof_join_events": _ASOF_ORACLE,
         "asof_join_bucketed_events": _ASOF_ORACLE,
@@ -648,6 +717,86 @@ def oracle_sql() -> dict[str, str]:
                    ) AS fingerprint
             FROM documents
         """,
+        "transcript_features": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{_FIXTURE_DIR}/transcripts_small.parquet')
+            ), s AS (
+              SELECT conv_id, turn_idx, ts, tool,
+                     length(text) AS text_len,
+                     length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                          END AS n_tokens,
+                     length(text) - length(translate(text, '.,;:!?', '')) AS n_punct
+              FROM t
+            ), w1 AS (
+              SELECT conv_id, turn_idx, ts, text_len, n_tokens, n_punct,
+                     CASE WHEN n_tokens > 0
+                          THEN (text_len - n_spaces)::DOUBLE / n_tokens
+                          END AS avg_token_len,
+                     lag(text_len, 1) OVER w AS text_len_lag1,
+                     lag(text_len, 2) OVER w AS text_len_lag2,
+                     lag(n_tokens, 1) OVER w AS n_tokens_lag1,
+                     avg(text_len) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                       AS text_len_avg_prev5,
+                     sum(text_len) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS text_len_sum_prev3,
+                     avg(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS n_tokens_avg_past,
+                     count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS n_prev_turns,
+                     count(*) OVER (PARTITION BY conv_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                                    RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING)
+                       AS turns_last_600s,
+                     epoch(ts) - epoch(lag(ts) OVER w) AS gap_s,
+                     last_value(tool IGNORE NULLS)
+                       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_tool
+              FROM s
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), f AS (
+              SELECT conv_id, turn_idx, ts,
+                     text_len::DOUBLE AS text_len,
+                     n_tokens::DOUBLE AS n_tokens,
+                     avg_token_len,
+                     n_punct::DOUBLE AS n_punct,
+                     coalesce(text_len_lag1, 0)::DOUBLE AS text_len_lag1,
+                     coalesce(text_len_lag2, 0)::DOUBLE AS text_len_lag2,
+                     coalesce(n_tokens_lag1, 0)::DOUBLE AS n_tokens_lag1,
+                     coalesce(text_len_avg_prev5, 0)::DOUBLE AS text_len_avg_prev5,
+                     coalesce(text_len_sum_prev3, 0)::DOUBLE AS text_len_sum_prev3,
+                     coalesce(n_tokens_avg_past, 0)::DOUBLE AS n_tokens_avg_past,
+                     n_prev_turns::DOUBLE AS n_prev_turns,
+                     coalesce(turns_last_600s, 0)::DOUBLE AS turns_last_600s,
+                     coalesce(gap_s, 0)::DOUBLE AS session_gap_s,
+                     CAST(sum(CASE WHEN gap_s > 1800.0 OR gap_s IS NULL THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                          AS DOUBLE) AS session_seq,
+                     CASE WHEN last_tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS has_prev_tool
+              FROM w1
+            ), p AS (
+              SELECT * FROM read_parquet('{_FIXTURE_DIR}/probes_small.parquet')
+            )
+            SELECT p.conv_id, p.ts, p.label, f.ts AS feature_ts, f.turn_idx,
+                   round(f.text_len, 6) AS text_len,
+                   round(f.n_tokens, 6) AS n_tokens,
+                   round(f.avg_token_len, 6) AS avg_token_len,
+                   round(f.n_punct, 6) AS n_punct,
+                   round(f.text_len_lag1, 6) AS text_len_lag1,
+                   round(f.text_len_lag2, 6) AS text_len_lag2,
+                   round(f.n_tokens_lag1, 6) AS n_tokens_lag1,
+                   round(f.text_len_avg_prev5, 6) AS text_len_avg_prev5,
+                   round(f.text_len_sum_prev3, 6) AS text_len_sum_prev3,
+                   round(f.n_tokens_avg_past, 6) AS n_tokens_avg_past,
+                   round(f.n_prev_turns, 6) AS n_prev_turns,
+                   round(f.turns_last_600s, 6) AS turns_last_600s,
+                   round(f.session_gap_s, 6) AS session_gap_s,
+                   round(f.session_seq, 6) AS session_seq,
+                   round(f.has_prev_tool, 6) AS has_prev_tool
+            FROM p ASOF LEFT JOIN f
+              ON p.conv_id = f.conv_id AND p.ts >= f.ts
+        """,
         "equi_join_orders_customer": """
             SELECT c.c_nationkey, count(*) AS n_orders,
                    round(sum(o.o_totalprice), 2) AS total_price
@@ -687,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    round(sum(mean_v * n) / sum(n), 6) AS wmean,
-                   sum(n) AS n_total
+                   CAST(sum(n) AS BIGINT) AS n_total
             FROM part GROUP BY event_type
         """,
         "embedding_topk": """

@@ -74,3 +74,25 @@ def test_probes_kinds_and_labels(spark):
     tmin = t.groupBy("conv_id").agg({"ts": "min"}).toPandas().set_index("conv_id")
     joined = p.join(tmin, on="conv_id")
     assert (joined.ts < joined["min(ts)"]).any()
+
+
+def test_committed_fixture_matches_generator(spark):
+    """The committed parity fixture (tools/make_fixtures.py) must stay
+    reproducible from the generator bit-for-bit — the transcript_features
+    oracle reads the fixture, so drift here would silently decouple the
+    oracle from the engine under test."""
+    import pandas as pd
+
+    from tools.make_fixtures import MEAN_TURNS, N_CONV, PROBE_FRAC, TRANSCRIPTS
+
+    t = synth.transcripts(spark, n_conv=N_CONV, mean_turns=MEAN_TURNS)
+    fresh = t.orderBy("conv_id", "turn_idx").toPandas()
+    committed = pd.read_parquet(TRANSCRIPTS)
+    for df in (fresh, committed):
+        if getattr(df["ts"].dtype, "tz", None) is not None:
+            df["ts"] = df["ts"].dt.tz_localize(None)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(fresh, committed)
+    # probe count sanity (full probe parity is covered via the oracle gate)
+    p = synth.probes(spark, t, probe_frac=PROBE_FRAC)
+    assert p.count() == len(pd.read_parquet(TRANSCRIPTS.replace("transcripts_", "probes_")))

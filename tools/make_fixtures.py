@@ -1,0 +1,55 @@
+"""Regenerate the committed parity fixtures under tests/fixtures/.
+
+The transcript fixture is the deterministic synth table (synth.py is a pure
+function of (seed, conv_id, turn_idx)) materialized ONCE as single-file
+parquet so that BOTH engines of the correctness gate can read it: the Spark
+side of ``q_transcript_features`` and the DuckDB oracle (`read_parquet`).
+Committing the parquet removes any run-order dependence between the driver's
+query pass and oracle pass. ``tests/test_synth.py`` asserts the generator
+still reproduces the committed bytes' rows exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+TRANSCRIPTS = os.path.abspath(os.path.join(FIXTURE_DIR, "transcripts_small.parquet"))
+PROBES = os.path.abspath(os.path.join(FIXTURE_DIR, "probes_small.parquet"))
+
+N_CONV, MEAN_TURNS, PROBE_FRAC = 60, 15, 0.25
+
+
+def _naive(pdf):
+    for c in pdf.columns:
+        if getattr(pdf[c].dtype, "tz", None) is not None:
+            pdf[c] = pdf[c].dt.tz_localize(None)
+    return pdf
+
+
+def main():
+    from powershap_spark import synth
+    from powershap_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = synth.transcripts(spark, n_conv=N_CONV, mean_turns=MEAN_TURNS)
+    p = synth.probes(spark, t, probe_frac=PROBE_FRAC)
+    tp = _naive(t.orderBy("conv_id", "turn_idx").toPandas())
+    pp = _naive(p.orderBy("conv_id", "ts", "label").toPandas())
+    os.makedirs(os.path.dirname(TRANSCRIPTS), exist_ok=True)
+    # Spark cannot read TIMESTAMP(NANOS) parquet; all synth ts are integral
+    # seconds so coercing to micros is lossless.
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    pq.write_table(pa.Table.from_pandas(tp, preserve_index=False), TRANSCRIPTS, **kw)
+    pq.write_table(pa.Table.from_pandas(pp, preserve_index=False), PROBES, **kw)
+    print(f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows)")
+
+
+if __name__ == "__main__":
+    main()
