@@ -37,11 +37,6 @@ class PowerShap(PowerShapSelector):
         verbose: bool = False,
         **fit_kwargs,
     ):
-        if cv is not None:
-            raise NotImplementedError(
-                "custom cross-validators are not supported in the distributed "
-                "engine yet; use stratify / groups splits"
-            )
         super().__init__(
             model=model,
             power_iterations=power_iterations,
@@ -56,6 +51,7 @@ class PowerShap(PowerShapSelector):
             limit_incremental_iterations=limit_incremental_iterations,
             limit_recursive_automatic=limit_recursive_automatic,
             stratify=stratify,
+            cv=cv,
             verbose=verbose,
             **fit_kwargs,
         )

@@ -109,19 +109,50 @@ def _make_group_fn(
     probe_mode,
     row_key_col,
     sort_cols,
+    cv=None,
+    cv_positions=None,
+    fit_kwargs=None,
 ):
     """Per-partition UDF body: the feature matrix block for one part_id is
     materialized ONCE (a single Arrow transfer per partition) and ALL batch
     iterations run on it in a local loop — the data is never replicated or
     re-shuffled per iteration. ``iteration_pairs`` = [(global_it, local_i)].
+
+    ``cv`` (an ``InfiniteSplitter``) + ``cv_positions`` (global_it ->
+    absolute stream position) reconstruct the reference's single global
+    split stream inside the executor: the stream is a pure function of
+    (cv, block, position), so fast-forwarding to each iteration's position
+    reproduces exactly what the driver-side sequential loop would consume
+    (powershap.py:144-176 / shap_explainer.py:117-120), per partition block.
     """
 
     def fn(key, pdf):
         part_id = int(key[0])
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        gen, cur = None, -1
+        if cv is not None:
+            import numpy as _np
+
+            y_ = (
+                pdf[stratify_col].to_numpy()
+                if stratify_col
+                else pdf[label_col].to_numpy()
+            )
+            grp = pdf[group_col].to_numpy() if group_col else None
+            first = cv_positions[iteration_pairs[0][0]]
+            gen = cv.at_position(first, _np.zeros((len(pdf), 1)), y=y_, groups=grp)
+            cur = first
         outs = []
         for global_it, local_i in iteration_pairs:
+            split = None
+            if gen is not None:
+                target = cv_positions[global_it]
+                while cur < target:
+                    next(gen)
+                    cur += 1
+                split = next(gen)
+                cur += 1
             t0 = time.perf_counter()
             out = explain_iteration(
                 pdf,
@@ -136,6 +167,8 @@ def _make_group_fn(
                 probe_mode=probe_mode,
                 row_key_col=row_key_col,
                 sort_cols=None,  # sorted once above
+                split_override=split,
+                fit_kwargs=fit_kwargs,
             )
             out.insert(0, "part_id", np.int32(part_id))
             out.insert(0, "iteration", np.int32(global_it))
@@ -165,6 +198,8 @@ class SparkExplainBackend:
         sort_cols: list[str] | None = None,
         store: CheckpointStore | None = None,
         min_rows_per_part: int = 500,
+        cv=None,
+        fit_kwargs: dict | None = None,
     ):
         from pyspark.sql import functions as F
 
@@ -178,6 +213,9 @@ class SparkExplainBackend:
         self.sort_cols = sort_cols
         self.store = store
         self.phase = "main"
+        self.cv = cv
+        self.cv_pos = 0  # absolute position in the selector-global cv stream
+        self.fit_kwargs = dict(fit_kwargs or {})
 
         keep = set(feature_cols) | {label_col}
         keep |= {c for c in (stratify_col, group_col, part_by) if c}
@@ -209,11 +247,20 @@ class SparkExplainBackend:
                 F.lit(n_parts),
             ).cast("int")
 
+    def release(self) -> None:
+        """Unpersist the cached projected matrix (called by the selector when
+        the fit completes — repeated fits must not accumulate cached data)."""
+        try:
+            self.df.unpersist()
+        except Exception:
+            pass
+
     def explain(
         self,
         loop_its: int,
         seed_start: int,
         exclude_cols: list[str] | None = None,
+        extra_fit_kwargs: dict | None = None,
     ) -> pd.DataFrame:
         """Run one explain batch (reference ShapExplainer.explain). Returns the
         wide I x (m+1) shaps_df for THIS batch (float32), checkpoint-aware."""
@@ -221,6 +268,13 @@ class SparkExplainBackend:
         global_its = list(range(seed_start, seed_start + loop_its))
         done = self.store.completed_iterations(self.phase) if self.store else set()
         todo = [g for g in global_its if g not in done]
+
+        # every iteration consumes exactly one split from the selector-global
+        # cv stream, cached or not — positions stay aligned under checkpoint
+        # resume because the driver control flow replays identically
+        cv_positions = {g: self.cv_pos + i for i, g in enumerate(sorted(global_its))}
+        self.cv_pos += len(global_its)
+        fit_kw = {**self.fit_kwargs, **(extra_fit_kwargs or {})}
 
         long_parts: list[pd.DataFrame] = []
         for g in global_its:
@@ -249,6 +303,9 @@ class SparkExplainBackend:
                 self.probe_mode,
                 self.row_key_col,
                 self.sort_cols,
+                cv=self.cv,
+                cv_positions=cv_positions,
+                fit_kwargs=fit_kw,
             )
             t0 = time.perf_counter()
             res = (
@@ -300,6 +357,8 @@ class PandasExplainBackend:
         groups=None,
         model=None,
         store: CheckpointStore | None = None,
+        cv=None,
+        fit_kwargs: dict | None = None,
     ):
         self.pdf = X.copy()
         self.pdf["__label"] = np.asarray(y)
@@ -314,12 +373,31 @@ class PandasExplainBackend:
         self.model = model
         self.store = store
         self.phase = "main"
+        self.cv = cv
+        self._cv_gen = None
+        self.fit_kwargs = dict(fit_kwargs or {})
 
-    def explain(self, loop_its, seed_start, exclude_cols=None) -> pd.DataFrame:
+    def _next_split(self):
+        """One split from the selector-global cv stream (reference
+        shap_explainer.py:104-107: the generator is created once per fit
+        inputs and consumed one split per iteration, across batches)."""
+        if self._cv_gen is None:
+            y_ = (
+                self.pdf["__strat"].to_numpy()
+                if self.has_strat
+                else self.pdf["__label"].to_numpy()
+            )
+            grp = self.pdf["__groups"].to_numpy() if self.has_groups else None
+            self._cv_gen = self.cv.split(np.zeros((len(self.pdf), 1)), y=y_, groups=grp)
+        return next(self._cv_gen)
+
+    def explain(self, loop_its, seed_start, exclude_cols=None, extra_fit_kwargs=None) -> pd.DataFrame:
         feats = [c for c in self.feature_cols if c not in set(exclude_cols or [])]
+        fit_kw = {**self.fit_kwargs, **(extra_fit_kwargs or {})}
         rows = []
         for i in range(loop_its):
             g = seed_start + i
+            split = self._next_split() if self.cv is not None else None
             if self.store and g in self.store.completed_iterations(self.phase):
                 cached = self.store.read_iteration(self.phase, g)
                 if set(cached["feature"]) == set(feats) | {RANDOM_COL}:
@@ -335,6 +413,8 @@ class PandasExplainBackend:
                 stratify_col="__strat" if self.has_strat else None,
                 group_col="__groups" if self.has_groups else None,
                 model=self.model,
+                split_override=split,
+                fit_kwargs=fit_kw,
             )
             out.insert(0, "part_id", np.int32(0))
             out.insert(0, "iteration", np.int32(g))
@@ -369,6 +449,7 @@ class PowerShapSelector:
         limit_incremental_iterations: int = 10,
         limit_recursive_automatic: int = 3,
         stratify: bool = False,
+        cv=None,
         verbose: bool = False,
         # Spark-specific
         n_parts: int = 1,
@@ -392,6 +473,12 @@ class PowerShapSelector:
         self.limit_incremental_iterations = limit_incremental_iterations
         self.limit_recursive_automatic = limit_recursive_automatic
         self.stratify = stratify
+        # the infinite re-seeding wrapper is built ONCE per selector and its
+        # split stream persists across fit phases, like the reference
+        # (powershap.py:173-176: self.cv = _infinite_splitter(cv))
+        from .splitters import InfiniteSplitter
+
+        self.cv = InfiniteSplitter(cv) if cv is not None else None
         self.verbose = verbose
         self.n_parts = n_parts
         self.part_by = part_by
@@ -417,12 +504,16 @@ class PowerShapSelector:
         feature_cols: list[str] | None = None,
         stratify_col: str | None = None,
         group_col: str | None = None,
+        **kwargs,
     ):
         store = (
             CheckpointStore(self.checkpoint_dir, self.run_id)
             if self.checkpoint_dir
             else None
         )
+        # per-call kwargs take precedence over constructor fit_kwargs
+        # (reference powershap.py:353)
+        fit_kw = {**self.fit_kwargs, **kwargs}
         if isinstance(X, pd.DataFrame) or isinstance(X, np.ndarray):
             if isinstance(X, np.ndarray):
                 X = pd.DataFrame(X, columns=[str(i) for i in range(X.shape[1])])
@@ -430,7 +521,8 @@ class PowerShapSelector:
             if strat is None and self.stratify:
                 strat = np.asarray(y)
             backend = PandasExplainBackend(
-                X, y, self.val_size, strat, groups, self.model, store
+                X, y, self.val_size, strat, groups, self.model, store,
+                cv=self.cv, fit_kwargs=fit_kw,
             )
             self.feature_names_in_ = np.asarray(list(X.columns))
         else:  # Spark DataFrame
@@ -457,6 +549,8 @@ class PowerShapSelector:
                 probe_mode=self.probe_mode,
                 sort_cols=self.sort_cols,
                 store=store,
+                cv=self.cv,
+                fit_kwargs=fit_kw,
             )
             self.feature_names_in_ = np.asarray(feature_cols)
 
@@ -465,17 +559,24 @@ class PowerShapSelector:
         if self.automatic:
             loop_its = 10
 
-        shaps_df = backend.explain(loop_its, 0)
-        processed = statistical_analysis(
-            shaps_df, self.power_alpha, self.power_req_iterations, self.include_all
-        )
-
-        if self.automatic:
-            processed, _ = self._automatic_fit(
-                backend, processed, loop_its, shaps_df, exclude_cols=None
+        try:
+            shaps_df = backend.explain(loop_its, 0)
+            processed = statistical_analysis(
+                shaps_df, self.power_alpha, self.power_req_iterations, self.include_all
             )
-            if self.force_convergence:
-                processed = self._convergence_fit(backend, processed, loop_its)
+
+            if self.automatic:
+                processed, _ = self._automatic_fit(
+                    backend, processed, loop_its, shaps_df, exclude_cols=None
+                )
+                if self.force_convergence:
+                    processed = self._convergence_fit(backend, processed, loop_its)
+        finally:
+            # release the cached projected matrix — repeated fits in one
+            # session must not accumulate cached DataFrames
+            release = getattr(backend, "release", None)
+            if release:
+                release()
 
         sub = processed[processed.index != RANDOM_COL]
         order = {c: i for i, c in enumerate(self.feature_names_in_)}
@@ -484,7 +585,10 @@ class PowerShapSelector:
         self._processed_shaps_df = processed
         return self
 
-    def _automatic_fit(self, backend, processed, loop_its, shaps_df, exclude_cols):
+    def _automatic_fit(
+        self, backend, processed, loop_its, shaps_df, exclude_cols,
+        extra_fit_kwargs=None,
+    ):
         """Reference powershap.py:222-326, with the iteration budget counter
         returned for checkpoint-aware convergence batches."""
         req_col = str(self.power_req_iterations) + "_power_its_req"
@@ -504,11 +608,15 @@ class PowerShapSelector:
         ):
             if max_iterations - max_iterations_old > self.limit_automatic:
                 add = self.limit_incremental_iterations
-                shaps_new = backend.explain(add, max_iterations_old, exclude_cols)
+                shaps_new = backend.explain(
+                    add, max_iterations_old, exclude_cols, extra_fit_kwargs
+                )
                 max_iterations_old = max_iterations_old + add
             else:
                 add = max_iterations - max_iterations_old
-                shaps_new = backend.explain(add, max_iterations_old, exclude_cols)
+                shaps_new = backend.explain(
+                    add, max_iterations_old, exclude_cols, extra_fit_kwargs
+                )
                 max_iterations_old = max_iterations
 
             shaps_df = pd.concat([shaps_df, shaps_new], ignore_index=True)
@@ -548,8 +656,12 @@ class PowerShapSelector:
                 converge_df = statistical_analysis(
                     shaps, self.power_alpha, self.power_req_iterations, self.include_all
                 )
+                # faithful quirk: the reference forwards a stray
+                # ``converge_shaps_df`` kwarg into the model-fit kwargs here
+                # (powershap.py:472); kernels ignore unknown kwargs
                 converge_df, _ = self._automatic_fit(
-                    backend, converge_df, loop_its, shaps, exclude
+                    backend, converge_df, loop_its, shaps, exclude,
+                    extra_fit_kwargs={"converge_shaps_df": shaps},
                 )
                 newly = list(
                     converge_df[converge_df.p_value < self.power_alpha].index.values

@@ -62,7 +62,7 @@ def inject_probe_keyed(keys: np.ndarray, iteration: int, seed_start: int = 0) ->
 
 
 # ---------------------------------------------------------------------------
-# Train/val split (vendored sklearn semantics; sklearn absent in sandbox)
+# Train/val split (vendored sklearn-exact splitters; sklearn absent here)
 # ---------------------------------------------------------------------------
 
 
@@ -75,40 +75,40 @@ def train_test_split_indices(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(train_idx, val_idx), both SORTED ascending (shap_explainer.py:153-156).
 
-    - plain: sklearn ShuffleSplit semantics — ``rng.permutation(n)``;
-      val = first ``n_val`` of the permutation, train = the rest.
-    - stratified: per-class permutation split (approximates
-      StratifiedShuffleSplit's allocation; same class proportions).
-    - groups: hash-bucket group shuffle — entire groups go to one side
-      (GroupShuffleSplit semantics, shap_explainer.py:124-132).
+    Exactly the reference's split cascade (shap_explainer.py:119-149):
+
+    - neither: ``train_test_split(arange(n), test_size, random_state=i)``
+      == ShuffleSplit(n_splits=1) — one ``RandomState(i).permutation(n)``;
+    - stratify only: StratifiedShuffleSplit(n_splits=1) — vendored with
+      sklearn's exact approximate-mode allocation + draw order;
+    - groups only: GroupShuffleSplit(n_splits=1, random_state=i);
+    - both: first split of StratifiedGroupKFold(shuffle=True,
+      random_state=i, n_splits=int(1/val_size)).
     """
-    n_val = int(np.ceil(n * val_size))
-    rng = np.random.RandomState(seed)
-    if groups is not None:
-        uniq = pd.unique(pd.Series(groups))
-        perm = rng.permutation(len(uniq))
-        n_val_groups = max(1, int(round(len(uniq) * val_size)))
-        val_groups = set(uniq[perm[:n_val_groups]])
-        mask = pd.Series(groups).isin(val_groups).to_numpy()
-        val_idx = np.flatnonzero(mask)
-        train_idx = np.flatnonzero(~mask)
-    elif stratify is not None:
-        strat = np.asarray(stratify)
-        val_parts, train_parts = [], []
-        classes = pd.unique(pd.Series(strat))
-        for cls in classes:
-            cls_idx = np.flatnonzero(strat == cls)
-            perm = cls_idx[rng.permutation(len(cls_idx))]
-            k = int(round(len(cls_idx) * val_size))
-            k = min(max(k, 1), len(cls_idx) - 1) if len(cls_idx) > 1 else 0
-            val_parts.append(perm[:k])
-            train_parts.append(perm[k:])
-        val_idx = np.concatenate(val_parts) if val_parts else np.array([], dtype=int)
-        train_idx = np.concatenate(train_parts)
+    from .splitters import (
+        GroupShuffleSplit,
+        ShuffleSplit,
+        StratifiedGroupKFold,
+        StratifiedShuffleSplit,
+    )
+
+    X = np.zeros((n, 1))
+    if groups is None and stratify is None:
+        cv = ShuffleSplit(n_splits=1, test_size=val_size, random_state=seed)
+        train_idx, val_idx = next(cv.split(X))
+    elif groups is None:
+        cv = StratifiedShuffleSplit(n_splits=1, test_size=val_size, random_state=seed)
+        train_idx, val_idx = next(cv.split(X, np.asarray(stratify)))
+    elif stratify is None:
+        cv = GroupShuffleSplit(n_splits=1, test_size=val_size, random_state=seed)
+        train_idx, val_idx = next(cv.split(X, groups=np.asarray(groups)))
     else:
-        perm = rng.permutation(n)
-        val_idx = perm[:n_val]
-        train_idx = perm[n_val:]
+        cv = StratifiedGroupKFold(
+            n_splits=int(1 / val_size), shuffle=True, random_state=seed
+        )
+        train_idx, val_idx = next(
+            cv.split(X, np.asarray(stratify), groups=np.asarray(groups))
+        )
     return np.sort(train_idx), np.sort(val_idx)
 
 
@@ -352,6 +352,11 @@ EXTERNAL_KERNELS = _try_external_kernels()
 
 
 def resolve_kernel(model=None):
+    # extension point: a model that carries its own kernel (callable
+    # ``fit_get_shap`` attribute) is used directly — the injection seam for
+    # custom explainers and for asserting fit-kwargs threading in tests
+    if model is not None and callable(getattr(model, "fit_get_shap", None)):
+        return model.fit_get_shap
     for name, supports, fn in EXTERNAL_KERNELS:
         try:
             if supports(model):
@@ -379,8 +384,19 @@ def explain_iteration(
     probe_mode: str = "positional",
     row_key_col: str | None = None,
     sort_cols: list[str] | None = None,
+    split_override: tuple | None = None,
+    fit_kwargs: dict | None = None,
 ) -> pd.DataFrame:
     """Run ONE powershap iteration on one pandas block.
+
+    ``split_override`` injects a pre-computed (train_idx, val_idx) pair —
+    the cv path (reference shap_explainer.py:117-120: a custom
+    cross-validator takes precedence over every train_test_split mode).
+    ``fit_kwargs`` are forwarded to the model kernel verbatim, matching the
+    reference's ``**kwargs`` threading (powershap.py:353 ->
+    shap_explainer.py:163); unknown keys are ignored by kernels (the
+    reference convergence loop deliberately passes a stray
+    ``converge_shaps_df`` kwarg, powershap.py:472).
 
     Returns a long-format frame ``(feature:str, mean_abs_shap:float32,
     n_val_rows:int64)`` — the partial that the engine aggregates across
@@ -403,17 +419,27 @@ def explain_iteration(
 
     stratify = pdf[stratify_col].to_numpy() if stratify_col else None
     groups = pdf[group_col].to_numpy() if group_col else None
-    # reference seeds the SPLIT with the bare iteration index i
-    # (shap_explainer.py:122), the MODEL with i + seed_start (:109,163)
-    train_idx, val_idx = train_test_split_indices(
-        n, val_size, iteration, stratify=stratify, groups=groups
-    )
+    if split_override is not None:
+        train_idx = np.sort(np.asarray(split_override[0]))
+        val_idx = np.sort(np.asarray(split_override[1]))
+    else:
+        # reference seeds the SPLIT with the bare iteration index i
+        # (shap_explainer.py:122), the MODEL with i + seed_start (:109,163)
+        train_idx, val_idx = train_test_split_indices(
+            n, val_size, iteration, stratify=stratify, groups=groups
+        )
     X_train, X_val = Xp[train_idx], Xp[val_idx]
     Y_train, Y_val = y[train_idx], y[val_idx]
 
     kernel = resolve_kernel(model)
     shap_vals = kernel(
-        X_train, Y_train, X_val, Y_val, random_seed=iteration + seed_start, model=model
+        X_train,
+        Y_train,
+        X_val,
+        Y_val,
+        random_seed=iteration + seed_start,
+        model=model,
+        **(fit_kwargs or {}),
     )
     shap_vals = np.abs(shap_vals)
     if shap_vals.ndim > 2:  # (n, m, outputs) -> max over outputs

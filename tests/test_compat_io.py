@@ -33,9 +33,63 @@ def test_compat_fit_transform(clf_xy):
     assert {"informative_0", "informative_1"} <= set(out.columns)
 
 
-def test_compat_cv_not_supported():
-    with pytest.raises(NotImplementedError):
-        PowerShap(cv=object())
+def test_compat_cv_accepted():
+    from powershap_spark.splitters import InfiniteSplitter, KFold
+
+    sel = PowerShap(cv=KFold(3))
+    assert isinstance(sel.cv, InfiniteSplitter)
+    assert PowerShap().cv is None
+
+
+class _RecordingKernelModel:
+    """A model carrying its own kernel (resolve_kernel extension seam);
+    records every kwargs dict the engine forwards into the fit."""
+
+    def __init__(self):
+        self.seen = []
+
+    def fit_get_shap(self, X_train, Y_train, X_val, Y_val, random_seed, model=None, **kw):
+        self.seen.append(dict(kw))
+        import numpy as np
+
+        return np.abs(X_val)
+
+
+def test_fit_kwargs_reach_the_kernel(clf_xy):
+    """Reference powershap.py:353 forwards {**self.fit_kwargs, **fit-kwargs}
+    into every model fit; unknown keys must be ignored, not an error."""
+    X, y = clf_xy
+    m = _RecordingKernelModel()
+    sel = PowerShap(
+        model=m, power_iterations=3, automatic=False, epochs=7, batch_size=32
+    )
+    sel.fit(X, y, extra_flag=True)
+    assert len(m.seen) == 3
+    for kw in m.seen:
+        assert kw == {"epochs": 7, "batch_size": 32, "extra_flag": True}
+
+
+def test_automatic_topup_passes_stray_kwarg(clf_xy):
+    """The reference convergence loop leaks a stray ``converge_shaps_df``
+    into the automatic top-up's fit kwargs (powershap.py:472); kernels must
+    receive and swallow it. Exercised directly on _automatic_fit with a
+    crafted required-iterations estimate so the top-up batch is guaranteed."""
+    X, y = clf_xy
+    m = _RecordingKernelModel()
+    sel = PowerShap(model=m, power_iterations=3, automatic=False)
+    sel.fit(X, y)
+    backend = sel._backend
+    shaps_df = backend.explain(3, 0)
+    m.seen.clear()
+    processed = sel._processed_shaps_df.copy()
+    processed["p_value"] = 0.0
+    processed["0.99_power_its_req"] = 5.0  # > the 3 already run -> top-up
+    sel._automatic_fit(
+        backend, processed, 3, shaps_df, None,
+        extra_fit_kwargs={"converge_shaps_df": shaps_df},
+    )
+    assert len(m.seen) > 0
+    assert all("converge_shaps_df" in kw for kw in m.seen)
 
 
 def test_tableio_parquet_roundtrip(spark, tmp_path):
