@@ -307,31 +307,43 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
-# --- rows-only (non-SQL-expressible: engine-internal hashing / full loop) ---
+# --- engine-internal hash family swapped for the oracle-replicable "poly"
+# family in the checked queries (xxhash64 stays the default scale path and
+# is benched directly; see powershap_spark/operators/dedup.py) ---
 
 
 def q_minhash_dedup_documents(spark, sf_dir):
     from powershap_spark.operators.dedup import minhash_dedup
 
     d = _read(spark, sf_dir, "documents")
-    return minhash_dedup(d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.7)
+    return minhash_dedup(
+        d, "text", "doc_id", num_hashes=16, bands=4, threshold=0.7,
+        hash_family="poly",
+    ).select("doc_id", "lang", "source")
 
 
 def q_simhash_documents(spark, sf_dir):
     from powershap_spark.operators.dedup import simhash
 
     d = _read(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text").alias("simhash64"))
+    return d.select(
+        "doc_id", simhash("text", hash_family="poly").alias("simhash64")
+    )
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
     from powershap_spark.operators.similarity import lsh_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=5, n_planes=4)
+    out = lsh_topk(emb, queries, k=5, n_planes=4, hash_family="poly")
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
 
 
 _FIXTURE_DIR = "/root/repo/tests/fixtures"
@@ -377,11 +389,15 @@ def q_image_features_fake(spark, sf_dir):
 
 
 def q_frame_sample_fake(spark, sf_dir):
-    from powershap_spark.operators.multimodal import attach_fake_media, frame_sample
+    """Frame sampling over the committed media fixture (DuckDB cannot
+    recompute xxhash64-derived blobs, so the fixture is the shared input).
+    The opaque frame payload is exposed as hex so the value-hash compare is
+    byte-exact across engines."""
+    from powershap_spark.operators.multimodal import frame_sample
 
-    d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
-    media = attach_fake_media(d, "doc_id")
-    return frame_sample(media, every_k=5, id_cols=("doc_id",))
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_small.parquet")
+    out = frame_sample(media, every_k=5, id_cols=("doc_id",))
+    return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
 def q_pit_matrix_events(spark, sf_dir):
@@ -514,6 +530,169 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_pvalue": q_percentile_pvalue,
         "weighted_mean": q_weighted_mean,
     }
+
+
+# ---------------------------------------------------------------------------
+# generated oracles for the poly hash family (minhash / simhash / lsh_topk):
+# the affine (a_i, b_i) literals come from the SAME function the Spark
+# expressions use, so both engines evaluate identical arithmetic
+# ---------------------------------------------------------------------------
+
+_PM = 1_000_000_007
+
+
+def _minhash_oracle_sql() -> str:
+    from powershap_spark.operators.dedup import (
+        BAND_BASE,
+        BAND_MOD,
+        affine_params,
+    )
+
+    H, BANDS, R, THR, SEED, N = 16, 4, 4, 0.7, 7, 3
+    a, b = affine_params(H, SEED)
+    mins = ",\n                     ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]}::BIGINT * h + {b[i]}) % {_PM}))"
+        for i in range(H)
+    )
+    bhs = ",\n                   ".join(
+        f"list_reduce(list_prepend(0::BIGINT, list_slice(sig, {bd*R+1}, {bd*R+R})),"
+        f" (acc, x) -> (acc * {BAND_BASE} + x) % {BAND_MOD}) AS bh{bd}"
+        for bd in range(BANDS)
+    )
+    cond = " OR ".join(f"a.bh{i} = b.bh{i}" for i in range(BANDS))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, string_split(t, ' ') AS toks FROM norm
+        ), sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) >= {N} THEN
+              list_transform(range(1, len(toks) - {N - 2}),
+                             i -> array_to_string(list_slice(toks, i, i + {N - 1}), ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS shingles
+          FROM tok
+        ), ph AS (
+          SELECT doc_id, list_transform(shingles, s ->
+            list_reduce(list_prepend(0::BIGINT,
+                          [unicode(c) FOR c IN regexp_extract_all(s, '.')]),
+                        (acc, x) -> (acc * 31 + x) % {_PM})) AS hs
+          FROM sh
+        ), sigs AS (
+          SELECT doc_id, [{mins}] AS sig FROM ph
+        ), banded AS (
+          SELECT doc_id, sig,
+                   {bhs}
+          FROM sigs
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+          FROM banded a JOIN banded b
+            ON a.doc_id < b.doc_id AND ({cond})
+        ), est AS (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, {H + 1}),
+                          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))::DOUBLE
+                   / {H} AS ej
+          FROM pairs
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT DISTINCT id_b FROM est WHERE ej >= {THR})
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    from powershap_spark.operators.dedup import affine_params
+
+    a, b = affine_params(64, 11)
+    terms = []
+    for i in range(64):
+        bitval = f"{1 << i}::BIGINT" if i < 63 else "(-9223372036854775807 - 1)"
+        vote = (
+            f"list_sum(list_transform(th, h -> CASE WHEN "
+            f"(({a[i]}::BIGINT * h + {b[i]}) % {_PM}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {bitval} ELSE 0::BIGINT END)")
+    total = "\n                 + ".join(terms)
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, list_distinct(string_split(t, ' ')) AS toks FROM norm
+        ), ph AS (
+          SELECT doc_id, list_transform(toks, s ->
+            list_reduce(list_prepend(0::BIGINT,
+                          [unicode(c) FOR c IN regexp_extract_all(s, '.')]),
+                        (acc, x) -> (acc * 31 + x) % {_PM})) AS th
+          FROM tok
+        )
+        SELECT doc_id, ({total}) AS simhash64 FROM ph
+    """
+
+
+def _lsh_topk_oracle_sql() -> str:
+    from powershap_spark.operators.dedup import affine_params
+
+    N_PLANES, SEED, K = 4, 5, 5
+    a, b = affine_params(N_PLANES, SEED)
+
+    def fold_sum(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+        )
+
+    def bucket(v: str) -> str:
+        parts = []
+        for p in range(N_PLANES):
+            sign = (
+                f"CASE WHEN (({a[p]}::BIGINT * i + {b[p]}) % {_PM}) % 2 = 1 "
+                f"THEN 1.0 ELSE -1.0 END"
+            )
+            proj = fold_sum(
+                f"list_transform(range(1, len({v}) + 1), i -> {v}[i] * ({sign}))"
+            )
+            parts.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+        return " + ".join(parts)
+
+    dot = fold_sum("list_transform(range(1, len(ev) + 1), i -> ev[i] * qv[i])")
+    na = f"sqrt({fold_sum('list_transform(range(1, len(ev) + 1), i -> ev[i] * ev[i])')})"
+    nb = f"sqrt({fold_sum('list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])')})"
+    cos = f"CASE WHEN {na} > 0 AND {nb} > 0 THEN ({dot}) / ({na} * {nb}) ELSE 0.0 END"
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5
+        ), cand AS (
+          SELECT q.query_id, e.vec_id, e.v AS ev, q.qv
+          FROM eb e JOIN q ON e.bucket = q.bucket
+        ), scored AS (
+          SELECT query_id, vec_id, ({cos}) AS cos_raw FROM cand
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank
+        FROM ranked WHERE rank <= {K}
+    """
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+    WITH x AS (
+      SELECT doc_id, media, unnest(range(0, n_frames, 5)) AS f
+      FROM read_parquet('{_FIXTURE_DIR}/media_small.parquet')
+    )
+    SELECT doc_id, f::INTEGER AS frame_idx,
+           hex(media) || printf('%02X%02X%02X%02X',
+               f & 255, (f >> 8) & 255, (f >> 16) & 255, (f >> 24) & 255)
+             AS frame_hex
+    FROM x
+"""
 
 
 _ASOF_ORACLE = """
@@ -717,6 +896,10 @@ def oracle_sql() -> dict[str, str]:
                    ) AS fingerprint
             FROM documents
         """,
+        "minhash_dedup_documents": _minhash_oracle_sql(),
+        "simhash_documents": _simhash_oracle_sql(),
+        "lsh_topk_embeddings": _lsh_topk_oracle_sql(),
+        "frame_sample_fake": _FRAME_SAMPLE_ORACLE,
         "transcript_features": f"""
             WITH t AS (
               SELECT * FROM read_parquet('{_FIXTURE_DIR}/transcripts_small.parquet')

@@ -112,9 +112,21 @@ def run_bench(spark, sf_dir: str, powershap_iterations: int = 10):
         lambda: em.q_session_gap_sessionize(spark, sf_dir).count(),
     )
     timed("pricing_summary", lambda: em.q_pricing_summary(spark, sf_dir).count())
+    # bench the xxhash64 hash family (the scale path; the oracle-checked
+    # query variant uses the slower SQL-replicable poly family)
+    from powershap_spark.operators.dedup import minhash_dedup
+
     timed(
         "minhash_dedup_documents",
-        lambda: em.q_minhash_dedup_documents(spark, sf_dir).count(),
+        lambda: minhash_dedup(
+            em._read(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            num_hashes=16,
+            bands=4,
+            threshold=0.7,
+            hash_family="xxhash",
+        ).count(),
     )
     timed("embedding_topk", lambda: em.q_embedding_topk(spark, sf_dir).count())
     timed(

@@ -29,7 +29,56 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "ngram_jaccard_pairs",
+    "affine_params",
+    "POLY_MOD",
+    "BAND_MOD",
+    "BAND_BASE",
 ]
+
+# engine-agnostic hash family: polynomial char hash into Z_POLY_MOD composed
+# with affine (a*x + b) % POLY_MOD maps — every value is reproducible in
+# plain SQL (the DuckDB oracles recompute them), unlike xxhash64. All
+# intermediates fit in int64: a, x < POLY_MOD ~ 1e9 -> a*x < 1e18.
+POLY_MOD = 1_000_000_007
+# band-hash fold modulus/base: acc < BAND_MOD ~ 1e15, acc*BAND_BASE < 8.2e18
+BAND_MOD = 999_999_999_999_989
+BAND_BASE = 8191
+
+
+def _mix64(x: int) -> int:
+    """splitmix64-style finalizer: the (a_i, b_i) parameters must look
+    independent across i or the k min-hash permutations correlate (measured:
+    an arithmetic progression of a_i biased the Jaccard estimate 0.69->0.53)."""
+    x &= (1 << 64) - 1
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & ((1 << 64) - 1)
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & ((1 << 64) - 1)
+    x ^= x >> 33
+    return x
+
+
+def affine_params(num_hashes: int, seed: int, mod: int = POLY_MOD):
+    """Deterministic (a_i, b_i) affine-hash parameters shared by the Spark
+    expressions and the generated oracle SQL (only the literal values cross
+    into SQL, so the mixing function itself needn't be SQL-expressible)."""
+    a = [
+        _mix64((2 * seed + 1) + i * 0x9E3779B97F4A7C15) % (mod - 1) + 1
+        for i in range(num_hashes)
+    ]
+    b = [_mix64((seed + 77) ^ (i * 0xBF58476D1CE4E5B9)) % mod for i in range(num_hashes)]
+    return a, b
+
+
+def _poly_char_hash(expr) -> "F.Column":
+    """h = fold(acc*31 + codepoint) % POLY_MOD over the characters — the
+    same polynomial as text.rolling_fingerprint, usable inside lambdas."""
+    chars = F.regexp_extract_all(expr, F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(POLY_MOD)),
+    )
 
 
 def normalize_text(col) -> "F.Column":
@@ -68,21 +117,63 @@ def shingles(col, n: int = 3) -> "F.Column":
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 7) -> "F.Column":
-    """MinHash signature: for each of ``num_hashes`` seeded hash functions,
-    the minimum xxhash64 over the shingle set. Returns array<bigint>.
+def minhash_signature(
+    shingle_col, num_hashes: int = 32, seed: int = 7, hash_family: str = "xxhash"
+) -> "F.Column":
+    """MinHash signature: for each of ``num_hashes`` hash functions, the
+    minimum hash over the shingle set. Returns array<bigint>.
 
     Single pass over the shingle array: one aggregate folding an
     array-of-mins accumulator (the naive per-hash array_min(transform(...))
     re-evaluates the shingle expression num_hashes times — measured ~20x
-    slower at bench scale)."""
+    slower at bench scale).
+
+    hash_family:
+      - "xxhash" (default, the scale path): k seeded JVM xxhash64 calls;
+      - "poly": affine maps of one polynomial char hash per shingle —
+        engine-agnostic, so the DuckDB oracle recomputes exact values.
+    """
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
-    seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+    if hash_family == "xxhash":
+        init = F.array(*[F.lit(2**63 - 1).cast("long") for _ in range(num_hashes)])
+        seeds = F.array(*[F.lit(seed + i) for i in range(num_hashes)])
+        return F.aggregate(
+            c,
+            init,
+            lambda acc, s: F.zip_with(
+                acc, seeds, lambda m, sd: F.least(m, F.xxhash64(s, sd))
+            ),
+        )
+    if hash_family != "poly":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    a_l, b_l = affine_params(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in zip(a_l, b_l)
+        ]
+    )
+    phashes = F.transform(c, _poly_char_hash)
+    init = F.array(*[F.lit(POLY_MOD).cast("long") for _ in range(num_hashes)])
     return F.aggregate(
-        c,
+        phashes,
         init,
-        lambda acc, s: F.zip_with(acc, seeds, lambda m, sd: F.least(m, F.xxhash64(s, sd))),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(POLY_MOD)))
+        ),
+    )
+
+
+def band_hash(sig_slice, hash_family: str = "xxhash") -> "F.Column":
+    """Collapse one signature band to a join key. xxhash64 for the scale
+    path; a polynomial fold (acc*BAND_BASE + x) % BAND_MOD for the
+    oracle-replicable family."""
+    if hash_family == "xxhash":
+        return F.xxhash64(sig_slice)
+    return F.aggregate(
+        sig_slice,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * BAND_BASE + x, F.lit(BAND_MOD)),
     )
 
 
@@ -92,12 +183,19 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 8,
     num_hashes: int | None = None,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Banding: split the signature into ``bands`` rows, bucket-join on
     (band_id, band_hash). Returns candidate pairs (id_a < id_b) with the
-    fraction of matching minhashes (estimated Jaccard)."""
+    fraction of matching minhashes (estimated Jaccard).
+
+    ``num_hashes`` is required: inferring it would force a driver-side job
+    over the (potentially expensive) signature pipeline before planning."""
     if num_hashes is None:
-        num_hashes = int(df.select(F.size(sig_col).alias("n")).limit(1).collect()[0]["n"])
+        raise ValueError(
+            "pass num_hashes explicitly (the signature length); inferring it "
+            "would run an extra job over the signature pipeline"
+        )
     rows_per_band = max(1, num_hashes // bands)
 
     banded = df.select(
@@ -108,8 +206,9 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                        band_hash(
+                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                            hash_family,
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -153,6 +252,7 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> estimated-Jaccard filter ->
     drop the higher id of each surviving pair (greedy, transitive via
@@ -161,11 +261,18 @@ def minhash_dedup(
     # recomputing the shingle+hash expression tree twice dominates runtime
     sigs = df.select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("minhash"),
+        minhash_signature(
+            shingles(text_col, shingle_n), num_hashes, hash_family=hash_family
+        ).alias("minhash"),
     ).cache()
     dupes = (
         lsh_candidate_pairs(
-            sigs, id_col=id_col, sig_col="minhash", bands=bands, num_hashes=num_hashes
+            sigs,
+            id_col=id_col,
+            sig_col="minhash",
+            bands=bands,
+            num_hashes=num_hashes,
+            hash_family=hash_family,
         )
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -174,25 +281,68 @@ def minhash_dedup(
     return df.join(dupes, id_col, "left_anti")
 
 
-def simhash(col, bits: int = 64, seed: int = 11) -> "F.Column":
+def simhash(col, bits: int = 64, seed: int = 11, hash_family: str = "xxhash") -> "F.Column":
     """64-bit SimHash of the token set: per bit, sign of the sum over tokens
-    of (+1 / -1) from that token's hash bit. Pure array expressions."""
+    of (+1 / -1) from that token's hash bit. Pure array expressions.
+
+    SINGLE pass over the token hashes: one aggregate folds a ``bits``-wide
+    vote array via zip_with (the per-bit-aggregate formulation scanned the
+    hash array 64 times — O(64*tokens) expression tree); the aggregate's
+    finish lambda packs the votes into the signed 64-bit fingerprint.
+
+    hash_family="poly" swaps the JVM xxhash64 bit tests for parities of
+    affine maps of the polynomial char hash — bit_i(t) =
+    ((a_i*poly(t)+b_i) % POLY_MOD) % 2 — so the DuckDB oracle can recompute
+    the exact fingerprints."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(normalize_text(c), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    init = F.array(*[F.lit(0) for _ in range(bits)])
+
+    if hash_family == "xxhash":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+        positions = F.array(*[F.lit(i) for i in range(bits)])
+
+        def merge(acc, h):
+            return F.zip_with(
+                acc,
+                positions,
+                lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+            )
+    elif hash_family == "poly":
+        a_l, b_l = affine_params(bits, seed)
+        ab = F.array(
+            *[
+                F.struct(
+                    F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+                )
+                for a, b in zip(a_l, b_l)
+            ]
         )
-        for i in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return out
+        hashes = F.transform(toks, _poly_char_hash)
+
+        def merge(acc, h):
+            return F.zip_with(
+                acc,
+                ab,
+                lambda a, p: a
+                + F.when(
+                    F.pmod(F.pmod(p["a"] * h + p["b"], F.lit(POLY_MOD)), F.lit(2)) == 1,
+                    1,
+                ).otherwise(-1),
+            )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    def finish(votes):
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            bitval = (1 << i) if i < 63 else -(1 << 63)
+            out = out + F.when(
+                F.element_at(votes, i + 1) > 0, F.lit(bitval).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return F.aggregate(hashes, init, merge, finish)
 
 
 def ngram_jaccard_pairs(

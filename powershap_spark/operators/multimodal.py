@@ -100,26 +100,33 @@ def frame_sample(
     id_cols: tuple = ("doc_id",),
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame index
-    (0, k, 2k, ...) — demonstrates the 1->N mapInPandas expansion shape.
+    (0, k, 2k, ...). Pure JVM expressions — the 1->N expansion is
+    ``explode(sequence(0, n_frames-1, every_k))`` and the frame payload is
+    ``media || little_endian_int32(frame_idx)``; no Python anywhere.
     Frame payloads stay opaque (decode is the stubbed step)."""
-    out_schema = (
-        ", ".join(f"{c} long" for c in id_cols) + ", frame_idx int, frame binary"
+    fi = F.col("frame_idx")
+    le_bytes = F.unhex(
+        F.format_string(
+            "%02x%02x%02x%02x",
+            fi.bitwiseAND(F.lit(255)),
+            F.shiftright(fi, 8).bitwiseAND(F.lit(255)),
+            F.shiftright(fi, 16).bitwiseAND(F.lit(255)),
+            F.shiftright(fi, 24).bitwiseAND(F.lit(255)),
+        )
     )
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {c: [] for c in id_cols}
-            fidx, payload = [], []
-            for _, r in pdf.iterrows():
-                n = int(r[n_frames_col])
-                for i in range(0, n, every_k):
-                    for c in id_cols:
-                        rows[c].append(r[c])
-                    fidx.append(i)
-                    payload.append(bytes(r[media_col]) + i.to_bytes(4, "little"))
-            out = pd.DataFrame(rows)
-            out["frame_idx"] = pd.Series(fidx, dtype="int32")
-            out["frame"] = payload
-            yield out
-
-    return df.mapInPandas(op, schema=out_schema)
+    return (
+        df.select(
+            *[F.col(c).cast("long").alias(c) for c in id_cols],
+            F.col(media_col).alias("__media"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col(n_frames_col) - 1, F.lit(int(every_k))
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            *id_cols,
+            fi.cast("int").alias("frame_idx"),
+            F.concat(F.col("__media"), le_bytes).alias("frame"),
+        )
+    )

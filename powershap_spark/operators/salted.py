@@ -27,12 +27,24 @@ __all__ = ["detect_hot_keys", "salted_cumsum", "salted_ffill", "sessionize_salte
 
 
 def detect_hot_keys(
-    df: DataFrame, entity: str = "conv_id", threshold_rows: int = 1_000_000, sample_fraction: float | None = None
+    df: DataFrame,
+    entity: str = "conv_id",
+    threshold_rows: int = 1_000_000,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    margin: float = 0.8,
 ) -> list:
-    """Entities whose row count exceeds the per-task comfort bound. At scale,
-    pass a sample_fraction and scale the threshold down accordingly."""
-    src = df.sample(sample_fraction) if sample_fraction else df
-    thr = threshold_rows * (sample_fraction or 1.0)
+    """Entities whose row count exceeds the per-task comfort bound.
+
+    With ``sample_fraction`` the scan reads a seeded Bernoulli sample and the
+    threshold scales to ``threshold_rows * fraction * margin`` — the margin
+    absorbs binomial undercounting so a genuinely hot key (expected sample
+    count = thr*fraction >> its std) is still flagged. This is the policy a
+    10^12-turn run uses: the full-table groupBy-count pre-pass is replaced by
+    a ~fraction-cost sampled scan; false positives only cost taking the
+    (correct-anyway) salted path."""
+    src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    thr = threshold_rows * (sample_fraction or 1.0) * (margin if sample_fraction else 1.0)
     rows = (
         src.groupBy(entity)
         .count()

@@ -68,26 +68,47 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col, n_planes: int = 8, dim: int | None = None, seed: int = 5) -> "F.Column":
+def lsh_bucket(
+    vec_col, n_planes: int = 8, dim: int | None = None, seed: int = 5,
+    hash_family: str = "xxhash",
+) -> "F.Column":
     """Sign bucket from ``n_planes`` pseudo-random hyperplanes. Plane
-    components are deterministic +-1 derived from xxhash64(seed, plane, i):
-    sign_p = sum_i(v_i * s_pi) > 0. Returns an int bucket in [0, 2^n_planes).
+    components are deterministic +-1: sign_p = sum_i(v_i * s_pi) > 0.
+    Returns an int bucket in [0, 2^n_planes).
 
     The +-1 component trick keeps everything JVM-side (no literal random
-    matrices shipped around) and is an unbiased random-projection family."""
+    matrices shipped around) and is an unbiased random-projection family.
+    hash_family="xxhash" derives s_pi from xxhash64(seed, plane, i);
+    "poly" derives it from the parity of (a_p*(i+1)+b_p) % POLY_MOD — the
+    engine-agnostic family the DuckDB oracle recomputes exactly."""
+    from .dedup import POLY_MOD, affine_params
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    a_l, b_l = affine_params(n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
+        if hash_family == "xxhash":
+            sign = lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        else:
+            a_p, b_p = a_l[p], b_l[p]
+            sign = lambda i: F.when(
+                F.pmod(
+                    F.pmod(
+                        F.lit(a_p).cast("long") * (i + 1) + F.lit(b_p).cast("long"),
+                        F.lit(POLY_MOD),
+                    ),
+                    F.lit(2),
+                )
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda i: F.when(
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), sign),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -107,18 +128,19 @@ def lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 5,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Recall < 1 by design; rank/cosine computed exactly within the bucket."""
     e = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("__ev"),
-        lsh_bucket(vec_col, n_planes, seed=seed).alias("__bucket"),
+        lsh_bucket(vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
-        lsh_bucket(query_vec_col, n_planes, seed=seed).alias("__bucket"),
+        lsh_bucket(query_vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
     )
     scored = e.join(F.broadcast(q), "__bucket").select(
         "query_id",

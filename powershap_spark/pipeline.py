@@ -27,6 +27,22 @@ from .engine import PowerShapSelector
 
 DEFAULT_TAU = 1800.0
 
+# the auto skew policy samples this fraction for hot-key detection: with the
+# 1M-row default threshold a hot key yields ~10k expected sampled rows
+# (std ~100) — detection stays reliable while the pre-pass costs ~1% of a
+# full groupBy-count scan
+AUTO_SAMPLE_FRACTION = 0.01
+
+
+def _auto_skew(df: DataFrame, threshold_rows: int) -> bool:
+    from .operators.salted import detect_hot_keys
+
+    return bool(
+        detect_hot_keys(
+            df, "conv_id", threshold_rows, sample_fraction=AUTO_SAMPLE_FRACTION
+        )
+    )
+
 
 def turn_features(
     transcripts: DataFrame,
@@ -53,11 +69,7 @@ def turn_features(
     ``hot_threshold_rows`` — below that a single window task handles the
     hottest key faster than the extra two-phase shuffles cost."""
     if skew_safe == "auto":
-        from .operators.salted import detect_hot_keys
-
-        skew_safe = bool(
-            detect_hot_keys(transcripts, "conv_id", hot_threshold_rows)
-        )
+        skew_safe = _auto_skew(transcripts, hot_threshold_rows)
     # compute the per-turn text scalars, then DROP the raw text before any
     # window stage: carrying ~hundreds of bytes of text per row through the
     # window sorts multiplies shuffle/sort volume ~4x for nothing
@@ -268,9 +280,7 @@ def point_in_time_matrix(
     (default) engages it only when a conversation exceeds the per-task
     comfort bound."""
     if skew_safe == "auto":
-        from .operators.salted import detect_hot_keys
-
-        skew_safe = bool(detect_hot_keys(features, "conv_id", hot_threshold_rows))
+        skew_safe = _auto_skew(features, hot_threshold_rows)
     if skew_safe:
         from .operators.asof import asof_join_bucketed
 
@@ -309,9 +319,7 @@ def select_features(
     cheap pushed-down count) — resolving it per stage would re-evaluate the
     feature pipeline just to count rows per conversation."""
     if skew_safe == "auto":
-        from .operators.salted import detect_hot_keys
-
-        skew_safe = bool(detect_hot_keys(transcripts, "conv_id", hot_threshold_rows))
+        skew_safe = _auto_skew(transcripts, hot_threshold_rows)
     feats = turn_features(transcripts, tau_seconds, skew_safe=skew_safe)
     mat = point_in_time_matrix(feats, probes, tau_seconds, skew_safe=skew_safe)
     mat = mat.filter(F.col("feature_ts").isNotNull())  # probes before conv start

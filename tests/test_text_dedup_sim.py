@@ -70,7 +70,7 @@ def test_minhash_estimates_jaccard(spark, docs):
     sigs = docs.select(
         "doc_id", minhash_signature(shingles("text", 2), 128).alias("minhash")
     )
-    pairs = lsh_candidate_pairs(sigs, bands=32).toPandas()
+    pairs = lsh_candidate_pairs(sigs, bands=32, num_hashes=128).toPandas()
     exact = {(0, 1): 1.0}
     row01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
     assert len(row01) == 1 and row01.est_jaccard.iloc[0] == 1.0
@@ -193,3 +193,48 @@ def test_frame_sample_expansion(spark, docs):
         expected = int(np.ceil(n_frames[d] / 5))
         assert len(grp) == expected
         assert list(grp.frame_idx) == list(range(0, int(n_frames[d]), 5))
+
+
+def test_frame_payload_little_endian(spark, docs):
+    media = attach_fake_media(docs.select("doc_id").limit(3), "doc_id")
+    raw = media.toPandas().set_index("doc_id").media
+    out = frame_sample(media, every_k=5).toPandas()
+    for _, r in out.iterrows():
+        expected = bytes(raw[r.doc_id]) + int(r.frame_idx).to_bytes(4, "little")
+        assert bytes(r.frame) == expected
+
+
+def test_poly_hash_family_parity(spark, docs):
+    """The oracle-replicable poly family keeps the dedup semantics: exact
+    dups share signatures/fingerprints, near dups stay close."""
+    sigs = (
+        docs.select(
+            "doc_id",
+            minhash_signature(shingles("text", 2), 16, hash_family="poly").alias("m"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .m
+    )
+    assert list(sigs[0]) == list(sigs[1])
+    assert all(0 <= v < 1_000_000_007 for v in sigs[0])
+    sh = (
+        docs.select("doc_id", simhash("text", hash_family="poly").alias("h"))
+        .toPandas()
+        .set_index("doc_id")
+        .h
+    )
+    assert sh[0] == sh[1]
+    diff_bits = bin((int(sh[0]) ^ int(sh[3])) & (2**64 - 1)).count("1")
+    far_bits = bin((int(sh[0]) ^ int(sh[4])) & (2**64 - 1)).count("1")
+    assert diff_bits < far_bits
+
+
+def test_minhash_dedup_poly_family(spark, docs):
+    out = minhash_dedup(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
+        shingle_n=2, hash_family="poly",
+    ).toPandas()
+    ids = set(out.doc_id)
+    assert 0 in ids and 1 not in ids and 3 not in ids
+    assert 4 in ids and 5 in ids

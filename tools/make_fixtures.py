@@ -22,8 +22,10 @@ import pyarrow.parquet as pq
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 TRANSCRIPTS = os.path.abspath(os.path.join(FIXTURE_DIR, "transcripts_small.parquet"))
 PROBES = os.path.abspath(os.path.join(FIXTURE_DIR, "probes_small.parquet"))
+MEDIA = os.path.abspath(os.path.join(FIXTURE_DIR, "media_small.parquet"))
 
 N_CONV, MEAN_TURNS, PROBE_FRAC = 60, 15, 0.25
+N_MEDIA = 100
 
 
 def _naive(pdf):
@@ -48,7 +50,21 @@ def main():
     kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
     pq.write_table(pa.Table.from_pandas(tp, preserve_index=False), TRANSCRIPTS, **kw)
     pq.write_table(pa.Table.from_pandas(pp, preserve_index=False), PROBES, **kw)
-    print(f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows)")
+
+    # fake-media table: xxhash64-derived opaque blobs + typed metadata; the
+    # frame_sample oracle reads this committed copy because DuckDB cannot
+    # recompute Spark's xxhash64
+    from powershap_spark.operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(
+        spark.range(N_MEDIA).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    mp = media.orderBy("doc_id").toPandas()
+    pq.write_table(pa.Table.from_pandas(mp, preserve_index=False), MEDIA, **kw)
+    print(
+        f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows), "
+        f"{MEDIA} ({len(mp)} rows)"
+    )
 
 
 if __name__ == "__main__":
