@@ -52,7 +52,7 @@ class PowerShap(PowerShapSelector):
             limit_recursive_automatic=limit_recursive_automatic,
             stratify=stratify,
             cv=cv,
+            show_progress=show_progress,
             verbose=verbose,
             **fit_kwargs,
         )
-        self.show_progress = show_progress

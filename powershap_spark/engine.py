@@ -200,6 +200,7 @@ class SparkExplainBackend:
         min_rows_per_part: int = 500,
         cv=None,
         fit_kwargs: dict | None = None,
+        show_progress: bool = False,
     ):
         from pyspark.sql import functions as F
 
@@ -216,6 +217,7 @@ class SparkExplainBackend:
         self.cv = cv
         self.cv_pos = 0  # absolute position in the selector-global cv stream
         self.fit_kwargs = dict(fit_kwargs or {})
+        self.show_progress = show_progress
 
         keep = set(feature_cols) | {label_col}
         keep |= {c for c in (stratify_col, group_col, part_by) if c}
@@ -308,6 +310,15 @@ class SparkExplainBackend:
                 fit_kwargs=fit_kw,
             )
             t0 = time.perf_counter()
+            if self.show_progress:
+                # reference shows tqdm over iterations (shap_explainer.py:108);
+                # distributed batches surface through the job group instead —
+                # visible in the Spark UI / status tracker per explain batch
+                self.spark.sparkContext.setJobGroup(
+                    f"powershap/{self.phase}",
+                    f"explain batch: iterations {iteration_pairs[0][0]}"
+                    f"..{iteration_pairs[-1][0]} over {self.n_parts} partitions",
+                )
             res = (
                 self.df.withColumn("part_id", self.part_expr)
                 .groupBy("part_id")
@@ -450,6 +461,7 @@ class PowerShapSelector:
         limit_recursive_automatic: int = 3,
         stratify: bool = False,
         cv=None,
+        show_progress: bool = True,
         verbose: bool = False,
         # Spark-specific
         n_parts: int = 1,
@@ -479,6 +491,7 @@ class PowerShapSelector:
         from .splitters import InfiniteSplitter
 
         self.cv = InfiniteSplitter(cv) if cv is not None else None
+        self.show_progress = show_progress
         self.verbose = verbose
         self.n_parts = n_parts
         self.part_by = part_by
@@ -551,6 +564,7 @@ class PowerShapSelector:
                 store=store,
                 cv=self.cv,
                 fit_kwargs=fit_kw,
+                show_progress=self.show_progress,
             )
             self.feature_names_in_ = np.asarray(feature_cols)
 

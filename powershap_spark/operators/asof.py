@@ -237,10 +237,11 @@ def asof_join_bucketed(
     )
     # the union feeds both the per-bucket aggregate and the carry join — a
     # diamond plan whose shared child would otherwise execute twice (with a
-    # potentially expensive upstream); materialize it once
-    from pyspark import StorageLevel
+    # potentially expensive upstream); materialize it once. Registered for
+    # release via caching.release_tracked() (pipeline entry points call it).
+    from ..caching import tracked_persist
 
-    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    u = tracked_persist(u)
 
     # phase 1: ONE aggregation pass over the union computes, per (key,
     # bucket), the max-ts right payload — rows per bucket regardless of side,

@@ -198,10 +198,11 @@ def _turn_features_salted(
     # `a` feeds BOTH the per-chunk partials and the final join — a diamond.
     # Exchange reuse does not dedup shared children under different
     # partitionings, so without a materialization barrier the whole upstream
-    # (scan + text stats + halo window) executes twice. Persist it.
-    from pyspark import StorageLevel
+    # (scan + text stats + halo window) executes twice. Persist it
+    # (registered for release via caching.release_tracked()).
+    from .caching import tracked_persist
 
-    a = a.persist(StorageLevel.MEMORY_AND_DISK)
+    a = tracked_persist(a)
 
     # tiny prefix table: one row per (conv, chunk)
     per_chunk = a.groupBy("conv_id", "__chunk").agg(
@@ -326,5 +327,13 @@ def select_features(
     sel = selector or PowerShapSelector(
         sort_cols=["conv_id", "ts"], **selector_kw
     )
-    sel.fit(mat, label_col="label", feature_cols=FEATURE_COLS)
+    try:
+        sel.fit(mat, label_col="label", feature_cols=FEATURE_COLS)
+    finally:
+        # the fit has run every action over the matrix; release the diamond
+        # persists (salted feature build / bucketed as-of) so repeated
+        # pipeline runs in one session don't accumulate cached blocks
+        from .caching import release_tracked
+
+        release_tracked()
     return sel, mat

@@ -113,3 +113,16 @@ def test_feature_vectors_allclose_at_each_probe(spark, skew_safe):
         got = mat.loc[m, c].astype(float).values
         exp = oracle.loc[m.values, c].astype(float).values
         assert np.allclose(got, exp, atol=1e-9, equal_nan=True), c
+
+
+def test_no_cached_rdds_after_select_features(spark):
+    """Engine + diamond persists (salted features, bucketed as-of, matrix
+    projection) must all be released when select_features returns."""
+    from powershap_spark import synth
+    from powershap_spark.pipeline import select_features
+
+    spark.catalog.clearCache()
+    t = synth.transcripts(spark, n_conv=30, mean_turns=10)
+    p = synth.probes(spark, t, probe_frac=0.3)
+    select_features(t, p, power_iterations=2, skew_safe=True, n_parts=2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -81,18 +81,23 @@ def sel_run(cpus, sf):
     )
 
 
-def best_of(fn, kind, cpus, sf, repeat):
-    """min-of-repeat, incrementally cached to BENCH/raw_{kind}_{cpus}.json so
-    the suite can be (re)run one measurement at a time (each child run takes
-    1-4 min; driver command timeouts would otherwise lose everything)."""
-    path = os.path.join(ROOT, "BENCH", f"raw_{kind}_{cpus}.json")
-    runs = []
-    if os.path.exists(path):
-        runs = json.load(open(path))
-    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    while len(runs) < repeat:
-        runs.append(fn(cpus, sf))
-        json.dump(runs, open(path, "w"))
+def _raw_path(kind, cpus):
+    return os.path.join(ROOT, "BENCH", f"raw_{kind}_{cpus}.json")
+
+
+def _load(kind, cpus):
+    path = _raw_path(kind, cpus)
+    return json.load(open(path)) if os.path.exists(path) else []
+
+
+def _append(kind, cpus, rec):
+    runs = _load(kind, cpus)
+    runs.append(rec)
+    json.dump(runs, open(_raw_path(kind, cpus), "w"))
+
+
+def _best(kind, cpus):
+    runs = _load(kind, cpus)
     best = dict(min(runs, key=lambda r: r["sec"]))
     best["all_secs"] = [r["sec"] for r in runs]
     return best
@@ -103,12 +108,28 @@ def main():
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    fs = best_of(full_run("plain"), "plain", n, sf, repeat)
-    fl = best_of(full_run("plain"), "plain", 4 * n, sf, repeat)
-    gs = best_of(full_run("salted"), "salted", n, sf, repeat)
-    gl = best_of(full_run("salted"), "salted", 4 * n, sf, repeat)
-    ss = best_of(sel_run, "sel", n, sf, repeat)
-    sl = best_of(sel_run, "sel", 4 * n, sf, repeat)
+    cells = [
+        ("plain", n, full_run("plain")),
+        ("plain", 4 * n, full_run("plain")),
+        ("salted", n, full_run("salted")),
+        ("salted", 4 * n, full_run("salted")),
+        ("sel", n, sel_run),
+        ("sel", 4 * n, sel_run),
+    ]
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    # INTERLEAVE rounds across cells: this host's load drifts on a multi-
+    # minute scale (measured 5x between back-to-back identical runs), so
+    # running each cell's repeats back-to-back would bias whole cells;
+    # round-robin spreads the drift evenly and min-of-N filters it
+    for r in range(repeat):
+        for kind, cpus, fn in cells:
+            if len(_load(kind, cpus)) <= r:
+                _append(kind, cpus, fn(cpus, sf))
+                print(f"round {r}: {kind}@{cpus} done", flush=True)
+
+    fs, fl = _best("plain", n), _best("plain", 4 * n)
+    gs, gl = _best("salted", n), _best("salted", 4 * n)
+    ss, sl = _best("sel", n), _best("sel", 4 * n)
     f_eff = fs["sec"] / (4 * fl["sec"])
     g_eff = gs["sec"] / (4 * gl["sec"])
     s_eff = ss["sec"] / (4 * sl["sec"])

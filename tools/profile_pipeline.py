@@ -29,8 +29,9 @@ def main():
     from powershap_spark.pipeline import select_features
     from bench import build_transcripts
 
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", cpus))
     spark = get_spark(
-        app_name=f"prof{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"prof{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle
     )
 
     base = f"/tmp/bench_input_sf{sf}"
