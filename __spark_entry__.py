@@ -346,6 +346,38 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     )
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN: stride centroids (deterministic coarse quantizer), nprobe=2,
+    exact cosine within probed cells."""
+    from powershap_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=5, stride=64, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_cosine_dedup(spark, sf_dir):
+    """Embedding near-dup removal: LSH-bucketed candidate pairs (poly
+    family so the oracle can rebuild buckets), cosine >= 0.9 drops the
+    higher vec_id."""
+    from powershap_spark.operators.similarity import embedding_cosine_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_cosine_dedup(
+        emb, threshold=0.9, n_planes=4, hash_family="poly"
+    )
+    return out.select("vec_id")
+
+
 _FIXTURE_DIR = "/root/repo/tests/fixtures"
 
 
@@ -522,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powershap_selection": q_powershap_selection,
         "image_features_fake": q_image_features_fake,
         "frame_sample_fake": q_frame_sample_fake,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "pit_matrix_events": q_pit_matrix_events,
         "equi_join_orders_customer": q_equi_join_orders_customer,
         "left_anti_customers": q_left_anti_customers,
@@ -631,34 +665,47 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _lsh_topk_oracle_sql() -> str:
+def _duck_fold_sum(products: str) -> str:
+    """Strict left-fold sum — matches Spark's F.aggregate exactly (list_sum
+    may reorder; fold order must be identical for bit-equal doubles)."""
+    return f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+
+
+def _duck_cos(ev: str, qv: str) -> str:
+    """DuckDB replica of similarity.cosine_similarity_col (same fold order)."""
+    dot = _duck_fold_sum(
+        f"list_transform(range(1, len({ev}) + 1), i -> {ev}[i] * {qv}[i])"
+    )
+    na = f"sqrt({_duck_fold_sum(f'list_transform(range(1, len({ev}) + 1), i -> {ev}[i] * {ev}[i])')})"
+    nb = f"sqrt({_duck_fold_sum(f'list_transform(range(1, len({qv}) + 1), i -> {qv}[i] * {qv}[i])')})"
+    return f"CASE WHEN {na} > 0 AND {nb} > 0 THEN ({dot}) / ({na} * {nb}) ELSE 0.0 END"
+
+
+def _duck_bucket(v: str, n_planes: int, seed: int) -> str:
+    """DuckDB replica of similarity.lsh_bucket(hash_family='poly')."""
     from powershap_spark.operators.dedup import affine_params
 
-    N_PLANES, SEED, K = 4, 5, 5
-    a, b = affine_params(N_PLANES, SEED)
-
-    def fold_sum(products: str) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+    a, b = affine_params(n_planes, seed)
+    parts = []
+    for p in range(n_planes):
+        sign = (
+            f"CASE WHEN (({a[p]}::BIGINT * i + {b[p]}) % {_PM}) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END"
         )
+        proj = _duck_fold_sum(
+            f"list_transform(range(1, len({v}) + 1), i -> {v}[i] * ({sign}))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(parts)
 
-    def bucket(v: str) -> str:
-        parts = []
-        for p in range(N_PLANES):
-            sign = (
-                f"CASE WHEN (({a[p]}::BIGINT * i + {b[p]}) % {_PM}) % 2 = 1 "
-                f"THEN 1.0 ELSE -1.0 END"
-            )
-            proj = fold_sum(
-                f"list_transform(range(1, len({v}) + 1), i -> {v}[i] * ({sign}))"
-            )
-            parts.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
-        return " + ".join(parts)
 
-    dot = fold_sum("list_transform(range(1, len(ev) + 1), i -> ev[i] * qv[i])")
-    na = f"sqrt({fold_sum('list_transform(range(1, len(ev) + 1), i -> ev[i] * ev[i])')})"
-    nb = f"sqrt({fold_sum('list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])')})"
-    cos = f"CASE WHEN {na} > 0 AND {nb} > 0 THEN ({dot}) / ({na} * {nb}) ELSE 0.0 END"
+def _lsh_topk_oracle_sql() -> str:
+    N_PLANES, SEED, K = 4, 5, 5
+
+    def bucket(v):
+        return _duck_bucket(v, N_PLANES, SEED)
+
+    cos = _duck_cos("ev", "qv")
     return f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -679,6 +726,62 @@ def _lsh_topk_oracle_sql() -> str:
         )
         SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank
         FROM ranked WHERE rank <= {K}
+    """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    STRIDE, NPROBE, K = 64, 2, 5
+    cos_vc = _duck_cos("t.v", "c.cv")
+    cos_aq = _duck_cos("a.v", "q.qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cent AS (
+          SELECT (vec_id // {STRIDE})::INTEGER AS cell, v AS cv
+          FROM e WHERE vec_id % {STRIDE} = 0
+        ), assign AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT t.vec_id, t.v, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY ({cos_vc}) DESC, c.cell ASC) AS rn
+            FROM e t CROSS JOIN cent c
+          ) WHERE rn = 1
+        ), qc AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT t.vec_id AS query_id, t.v AS qv, c.cell,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY ({cos_vc}) DESC, c.cell ASC) AS rn
+            FROM e t CROSS JOIN cent c WHERE t.vec_id < 5
+          ) WHERE rn <= {NPROBE}
+        ), scored AS (
+          SELECT q.query_id, a.vec_id, ({cos_aq}) AS cos_raw
+          FROM assign a JOIN qc q ON a.cell = q.cell
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank
+        FROM ranked WHERE rank <= {K}
+    """
+
+
+def _embedding_cosine_dedup_oracle_sql() -> str:
+    N_PLANES, SEED, THR = 4, 5, 0.9
+    cos_ab = _duck_cos("a.v", "b.v")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, v, ({_duck_bucket('v', N_PLANES, SEED)}) AS b FROM e
+        ), dupes AS (
+          SELECT DISTINCT b.vec_id
+          FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+          WHERE ({cos_ab}) >= {THR}
+        )
+        SELECT vec_id FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM dupes)
     """
 
 
@@ -899,6 +1002,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_documents": _minhash_oracle_sql(),
         "simhash_documents": _simhash_oracle_sql(),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(),
+        "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
+        "embedding_cosine_dedup": _embedding_cosine_dedup_oracle_sql(),
         "frame_sample_fake": _FRAME_SAMPLE_ORACLE,
         "transcript_features": f"""
             WITH t AS (

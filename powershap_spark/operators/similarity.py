@@ -20,7 +20,15 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity_col", "brute_force_topk", "lsh_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_bucket",
+    "lsh_topk",
+    "stride_centroids",
+    "ivf_topk",
+    "embedding_cosine_dedup",
+]
 
 
 def cosine_similarity_col(a, b) -> "F.Column":
@@ -151,3 +159,128 @@ def lsh_topk(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantize into cells, probe only the best cells per query
+# ---------------------------------------------------------------------------
+
+
+def stride_centroids(
+    embeddings: DataFrame, stride: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list:
+    """Deterministic one-pass coarse quantizer: centroid j = the vector with
+    ``id == j*stride``. A real deployment would run a few k-means rounds; the
+    stride rule keeps the quantizer a pure function of the table (and lets
+    the SQL oracle rebuild the identical cells). Returns [(cell, vector)].
+    The collect is the IVF 'broadcast the centroid matrix' step — n_cells
+    rows, never the data table."""
+    rows = (
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
+        .select((F.col(id_col) / stride).cast("int").alias("cell"), F.col(vec_col))
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_scores(vec, centroids):
+    """[(cell, cosine(vec, centroid))] as struct columns (max-struct ready:
+    greatest() picks highest cosine, ties to the LOWEST cell id)."""
+    out = []
+    for cell, c in centroids:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        out.append(
+            F.struct(
+                cosine_similarity_col(vec, cv).alias("s"),
+                F.lit(-cell).alias("negcell"),
+            )
+        )
+    return out
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    stride: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its max-cosine centroid
+    cell (one projection pass — the centroid matrix is a literal/broadcast,
+    the data table is never shuffled for assignment), rank cells per query,
+    probe the best ``nprobe`` cells, exact cosine + top-k within candidates.
+
+    Scale shape: candidates come from an equi-join on ``cell`` — work
+    proportional to the probed cells only, never an all-pairs scan."""
+    cents = stride_centroids(embeddings, stride, id_col, vec_col)
+
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__ev"),
+        (-F.greatest(*_cell_scores(F.col(vec_col), cents))["negcell"]).alias("cell"),
+    )
+    # per query: rank all cells, keep the best nprobe
+    qcells = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(F.array(*_cell_scores(F.col(query_vec_col), cents)))
+                ),
+                1,
+                int(nprobe),
+            )
+        ).alias("__c"),
+    ).select("query_id", "__qv", (-F.col("__c.negcell")).alias("cell"))
+
+    scored = e.join(F.broadcast(qcells), "cell").select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity_col("__ev", "__qv").cast("double").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.97,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Embedding near-duplicate removal: candidate pairs share an LSH sign
+    bucket (never all-pairs), pairs with cosine >= threshold drop the higher
+    id. Near-identical vectors land in the same bucket with probability
+    ~(1 - theta/pi)^n_planes -> ~1 as theta -> 0, so recall is high exactly
+    where dedup matters."""
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__b"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dupes = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            cosine_similarity_col(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= float(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return embeddings.join(dupes, id_col, "left_anti")

@@ -238,3 +238,46 @@ def test_minhash_dedup_poly_family(spark, docs):
     ids = set(out.doc_id)
     assert 0 in ids and 1 not in ids and 3 not in ids
     assert 4 in ids and 5 in ids
+
+
+def test_ivf_topk_self_hit_and_recall(spark, emb):
+    from powershap_spark.operators.similarity import ivf_topk
+
+    sdf, vecs = emb
+    queries = sdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(sdf, queries, k=4, stride=15, nprobe=2).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        mine = out[(out.query_id == q) & (out.vec_id == q)]
+        assert len(mine) == 1 and mine.cosine.iloc[0] == pytest.approx(1.0)
+        # candidates are ranked by true cosine within the probed cells
+        grp = out[out.query_id == q].sort_values("rank")
+        got = grp.cosine.values
+        assert (np.diff(got) <= 1e-12).all()
+        assert np.allclose(got, sims[q][grp.vec_id.values], atol=1e-9)
+
+
+def test_embedding_cosine_dedup_drops_planted_near_dups(spark):
+    from powershap_spark.operators.similarity import embedding_cosine_dedup
+
+    r = np.random.RandomState(3)
+    base = r.randn(20, 16)
+    vecs = list(map(list, base))
+    # plant near-dups: 20 = 0 + tiny noise, 21 = 5 scaled (cosine 1.0)
+    vecs.append(list(base[0] + 1e-6 * r.randn(16)))
+    vecs.append(list(2.5 * base[5]))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(22, dtype=np.int64), "embedding": vecs}
+    )
+    sdf = spark.createDataFrame(pdf)
+    kept = set(
+        embedding_cosine_dedup(sdf, threshold=0.99, n_planes=4)
+        .toPandas()
+        .vec_id
+    )
+    assert 0 in kept and 5 in kept
+    assert 20 not in kept and 21 not in kept
+    assert len(kept) >= 18  # random vectors survive
