@@ -1,0 +1,191 @@
+"""Structured Streaming surface: streaming transcript ingest and a custom
+stateful per-conversation feature operator.
+
+The reference is a batch library (no streaming semantics — SURVEY §1.2);
+this module is the beyond-reference scale path for CONTINUOUS transcript
+feeds: readStream over an append-only table directory, watermarked late-turn
+handling, and ``applyInPandasWithState`` keeping one tiny state row per
+conversation so the strictly-past running features (turn counts, token
+running mean, ts-threshold session index, last tool) stream out per
+microbatch with zero temporal leakage — each emitted row only reflects turns
+at or before it.
+
+Parity contract (tested): on ordered input, the streamed feature rows equal
+the batch ``sessionize``/running-aggregate formulation bit-for-bit, across
+any microbatch slicing (state carries across batches; within a batch rows
+are sorted by ``turn_idx``). Out-of-order arrival WITHIN a conversation is
+the producer's contract (turn_idx is the conversation's own sequence);
+cross-conversation lateness is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "stream_transcripts",
+    "streaming_turn_features",
+    "run_stream_to_table",
+]
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("text_len", IntegerType()),
+        StructField("n_prev_turns", LongType()),
+        StructField("n_tokens_avg_past", DoubleType()),
+        StructField("session_gap_s", DoubleType()),
+        StructField("session_seq", LongType()),
+        StructField("last_tool", StringType()),
+    ]
+)
+
+# one tiny row per live conversation
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("tok_sum", DoubleType()),
+        StructField("last_ts", DoubleType()),
+        StructField("session_seq", LongType()),
+        StructField("last_tool", StringType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over an append-only transcript parquet directory (the
+    Iceberg-or-parquet seam's streaming counterpart)."""
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def _tok_count(texts: pd.Series) -> pd.Series:
+    t = texts.fillna("").str.strip()
+    return t.str.split().str.len().fillna(0).astype("int64")
+
+
+def streaming_turn_features(
+    stream: DataFrame,
+    tau_seconds: float = 1800.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-conversation strictly-past running
+    features over a stream of turns. State = (n_turns, token sum, last ts,
+    session counter, last tool); each microbatch sorts its slice by
+    ``turn_idx``, folds it through the state, and emits one feature row per
+    input turn. Semantics match the batch operators exactly:
+
+    - n_prev_turns / n_tokens_avg_past: rows strictly before this turn
+      (windows.rolling(None, -1) forms);
+    - session_gap_s / session_seq: ts-threshold sessionization
+      (windows.session_gap / sessionize);
+    - last_tool: strictly-past forward-fill (windows.ffill strict_past).
+    """
+    tau = float(tau_seconds)
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_turns, tok_sum, last_ts, session_seq, last_tool = state.get
+        else:
+            n_turns, tok_sum, last_ts, session_seq, last_tool = 0, 0.0, None, -1, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            toks = _tok_count(pdf["text"])
+            ep = pdf["ts"].astype("int64") / 1e9
+            rows = {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "text_len": pdf["text"].fillna("").str.len().to_numpy("int32"),
+            }
+            n_prev, tok_avg, gaps, seqs, tools = [], [], [], [], []
+            for tok, e, tool in zip(toks.to_numpy(), ep.to_numpy(), pdf["tool"]):
+                gap = None if last_ts is None else e - last_ts
+                if gap is None or gap > tau:
+                    session_seq += 1
+                n_prev.append(n_turns)
+                tok_avg.append(tok_sum / n_turns if n_turns else None)
+                gaps.append(gap)
+                seqs.append(session_seq)
+                tools.append(last_tool)
+                n_turns += 1
+                tok_sum += float(tok)
+                last_ts = e
+                if isinstance(tool, str):
+                    last_tool = tool
+            o = pd.DataFrame(rows)
+            o["n_prev_turns"] = pd.Series(n_prev, dtype="int64").values
+            o["n_tokens_avg_past"] = pd.Series(tok_avg, dtype="float64").values
+            o["session_gap_s"] = pd.Series(gaps, dtype="float64").values
+            o["session_seq"] = pd.Series(seqs, dtype="int64").values
+            o["last_tool"] = tools
+            out.append(o)
+        state.update((n_turns, tok_sum, last_ts, session_seq, last_tool))
+        yield from out
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_table(
+    features: DataFrame, table_name: str, checkpoint_dir: str
+) -> Any:
+    """Drain all available input into an in-memory sink (availableNow —
+    bounded reprocessing with streaming semantics + checkpointed progress);
+    returns the finished StreamingQuery."""
+    q = (
+        features.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

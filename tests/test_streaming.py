@@ -1,0 +1,94 @@
+"""Streaming sessionized features: applyInPandasWithState parity with the
+batch formulation, across microbatch boundaries (state continuation)."""
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from powershap_spark import synth
+from powershap_spark.streaming import (
+    TRANSCRIPT_SCHEMA,
+    run_stream_to_table,
+    stream_transcripts,
+    streaming_turn_features,
+)
+
+TAU = 1800.0
+
+
+def _expected(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Independent pandas recomputation of the streaming operator's
+    contract (strictly-past running features + ts-threshold sessions)."""
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        n, tok_sum, last_ts, seq, last_tool = 0, 0.0, None, -1, None
+        for _, r in g.iterrows():
+            ep = r.ts.value / 1e9
+            gap = None if last_ts is None else ep - last_ts
+            if gap is None or gap > TAU:
+                seq += 1
+            rows.append(
+                dict(
+                    conv_id=conv,
+                    turn_idx=r.turn_idx,
+                    n_prev_turns=n,
+                    n_tokens_avg_past=(tok_sum / n) if n else None,
+                    session_gap_s=gap,
+                    session_seq=seq,
+                    last_tool=last_tool,
+                )
+            )
+            n += 1
+            tok_sum += float(len(str(r.text).split()))
+            last_ts = ep
+            if isinstance(r.tool, str):
+                last_tool = r.tool
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_streaming_features_match_batch(spark, tmp_path, n_batches):
+    t = synth.transcripts(spark, n_conv=12, mean_turns=12)
+    pdf = t.toPandas()
+    if getattr(pdf["ts"].dtype, "tz", None) is not None:
+        pdf["ts"] = pdf["ts"].dt.tz_localize(None)
+
+    # split into n_batches files by turn ranges so cross-file order respects
+    # per-conversation turn order (one file per write -> one microbatch)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(pdf.turn_idx.max() + 1), n_batches)
+    for i, chunk in enumerate(cuts):
+        part = t.filter(F.col("turn_idx").isin([int(x) for x in chunk]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod times -> deterministic batch order
+
+    stream = stream_transcripts(
+        spark, src, max_files_per_trigger=1 if n_batches > 1 else None
+    )
+    feats = streaming_turn_features(stream, tau_seconds=TAU)
+    run_stream_to_table(feats, f"stream_out_{n_batches}", str(tmp_path / "ckpt"))
+    got = spark.sql(f"select * from stream_out_{n_batches}").toPandas()
+
+    assert len(got) == len(pdf)
+    exp = _expected(pdf)
+    key = ["conv_id", "turn_idx"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    for c in ["n_prev_turns", "session_seq"]:
+        assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
+    for c in ["n_tokens_avg_past", "session_gap_s"]:
+        np.testing.assert_allclose(
+            g[c].astype(float), e[c].astype(float), atol=1e-9, equal_nan=True
+        )
+    assert (g.last_tool.fillna("~") == e.last_tool.fillna("~")).all()
+    # leakage guard: first turn of every conversation sees nothing
+    first = g[g.turn_idx == 0]
+    assert (first.n_prev_turns == 0).all()
+    assert first.n_tokens_avg_past.isna().all()
+    assert first.last_tool.isna().all()
