@@ -148,12 +148,12 @@ def main():
         "## Full pipeline (parquet scan -> strictly-past windowed features ->",
         "sort-merge as-of join -> 10-iteration partition-parallel powershap)",
         "",
-        "| mode | parallelism | wall (s) | turns/sec | raw runs (s) |",
-        "|---|---|---|---|---|",
-        f"| plain windows | local[{n}] | {fs['sec']} | {fs['turns_per_sec']} | {fs['all_secs']} |",
-        f"| plain windows | local[{4*n}] | {fl['sec']} | {fl['turns_per_sec']} | {fl['all_secs']} |",
-        f"| salted (skew-safe) | local[{n}] | {gs['sec']} | {gs['turns_per_sec']} | {gs['all_secs']} |",
-        f"| salted (skew-safe) | local[{4*n}] | {gl['sec']} | {gl['turns_per_sec']} | {gl['all_secs']} |",
+        "| mode | parallelism | wall (s) | turns/sec | CPU us/turn | raw runs (s) |",
+        "|---|---|---|---|---|---|",
+        f"| plain windows | local[{n}] | {fs['sec']} | {fs['turns_per_sec']} | {fs.get('cpu_us_per_turn', 'n/a')} | {fs['all_secs']} |",
+        f"| plain windows | local[{4*n}] | {fl['sec']} | {fl['turns_per_sec']} | {fl.get('cpu_us_per_turn', 'n/a')} | {fl['all_secs']} |",
+        f"| salted (skew-safe) | local[{n}] | {gs['sec']} | {gs['turns_per_sec']} | {gs.get('cpu_us_per_turn', 'n/a')} | {gs['all_secs']} |",
+        f"| salted (skew-safe) | local[{4*n}] | {gl['sec']} | {gl['turns_per_sec']} | {gl.get('cpu_us_per_turn', 'n/a')} | {gl['all_secs']} |",
         "",
         f"**plain efficiency = {fs['sec']}/(4 x {fl['sec']}) = {f_eff:.3f}** —",
         "bounded by the mandated hot conversation (10% of ALL rows in one",

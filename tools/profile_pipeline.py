@@ -53,11 +53,39 @@ def main():
     select_features(ws, wp, power_iterations=2, n_parts=8, probe_mode="keyed", skew_safe=False)
     ws.unpersist(), wp.unpersist()
 
+    def cpu_now():
+        """CPU-seconds burned by this process SUBTREE (driver + local-mode
+        JVM + python workers) via /proc — a contention-robust companion to
+        wall clock (getrusage only sees reaped children; the JVM is live)."""
+        hz = os.sysconf("SC_CLK_TCK")
+        ppid_map, cpu = {}, {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    tail = f.read().rsplit(")", 1)[1].split()
+                ppid_map[int(pid)] = int(tail[1])
+                cpu[int(pid)] = (int(tail[11]) + int(tail[12])) / hz
+            except Exception:
+                pass
+        mine, total = {os.getpid()}, 0.0
+        grew = True
+        while grew:
+            grew = False
+            for pid, pp in ppid_map.items():
+                if pp in mine and pid not in mine:
+                    mine.add(pid)
+                    grew = True
+        return sum(cpu.get(p, 0.0) for p in mine)
+
+    c0 = cpu_now()
     t0 = time.perf_counter()
     sel, _ = select_features(
         t, p, power_iterations=its, n_parts=32, probe_mode="keyed", skew_safe=skew
     )
     wall = time.perf_counter() - t0
+    cpu_s = cpu_now() - c0
     print(
         "RESULT "
         + json.dumps(
@@ -69,6 +97,8 @@ def main():
                 "n_turns": n_turns,
                 "sec": round(wall, 2),
                 "turns_per_sec": round(n_turns / wall, 1),
+                "cpu_s": round(cpu_s, 2),
+                "cpu_us_per_turn": round(cpu_s / n_turns * 1e6, 3),
                 "n_selected": len(sel.selected_features_),
             }
         )
