@@ -96,3 +96,38 @@ def test_selection_single_shuffle_to_udf(spark, clf_xy):
 
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_frame_sample_plan_has_no_python_stage(spark):
+    """frame_sample must be pure JVM: explode+concat, no Arrow/pandas UDF."""
+    from powershap_spark.operators.multimodal import attach_fake_media, frame_sample
+
+    media = attach_fake_media(spark.range(10).withColumnRenamed("id", "doc_id"), "doc_id")
+    plan = _plan(frame_sample(media, every_k=5))
+    assert "InPandas" not in plan and "Python" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_ivf_topk_plan_broadcasts_probe_cells(spark):
+    """IVF candidates come from a broadcast equi-join on cell — the big
+    embedding table is never cross-joined or shuffled for assignment."""
+    from powershap_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(ivf_topk(emb, q, k=3, stride=16, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_plan_single_projection(spark):
+    """Single-pass simhash: one aggregate expression, no join/exchange."""
+    from powershap_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(d.select("doc_id", simhash("text").alias("h")))
+    assert "Exchange" not in plan and "Join" not in plan
