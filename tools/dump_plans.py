@@ -51,6 +51,24 @@ def main():
     sections.append(
         ("broadcast equi-join", plan_of(em.q_equi_join_orders_customer(spark, sf)))
     )
+    sections.append(
+        (
+            "frame sampling (pure JVM explode+concat, no Python stage)",
+            plan_of(em.q_frame_sample_fake(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "IVF ANN top-k (broadcast probe cells, candidate equi-join)",
+            plan_of(em.q_ivf_topk_embeddings(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "minhash LSH dedup (banded bucket self-join, cached signatures)",
+            plan_of(em.q_minhash_dedup_documents(spark, sf)),
+        )
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(
