@@ -12,13 +12,31 @@ resumable, partition-parallel iterations.
 
 from .engine import CheckpointStore, PowerShapSelector
 from .kernel import RANDOM_COL
+from .splitters import (
+    GroupKFold,
+    GroupShuffleSplit,
+    InfiniteSplitter,
+    KFold,
+    ShuffleSplit,
+    StratifiedGroupKFold,
+    StratifiedKFold,
+    StratifiedShuffleSplit,
+)
 from .stats import statistical_analysis
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "PowerShapSelector",
     "CheckpointStore",
     "statistical_analysis",
     "RANDOM_COL",
+    "KFold",
+    "StratifiedKFold",
+    "GroupKFold",
+    "StratifiedGroupKFold",
+    "ShuffleSplit",
+    "StratifiedShuffleSplit",
+    "GroupShuffleSplit",
+    "InfiniteSplitter",
 ]
