@@ -203,6 +203,26 @@ def linear_shap_values(coef: np.ndarray, X_train: np.ndarray, X_val: np.ndarray)
 # ---------------------------------------------------------------------------
 
 
+def impute_nonfinite(X_train: np.ndarray, X_val: np.ndarray):
+    """Replace NaN/Inf with the TRAIN column mean over finite entries (0.0
+    for all-non-finite columns). The reference's robustness tests feed NaN /
+    Inf columns and rows and rely on catboost's native missing-value
+    handling (tests/test_catboost_powershap.py:44-113); the vendored linear
+    models get the equivalent via train-only imputation — no val leakage."""
+    X_train = np.asarray(X_train, dtype=np.float64).copy()
+    X_val = np.asarray(X_val, dtype=np.float64).copy()
+    finite = np.isfinite(X_train)
+    with np.errstate(invalid="ignore"):
+        col_sum = np.where(finite, X_train, 0.0).sum(axis=0)
+        col_n = finite.sum(axis=0)
+        means = np.where(col_n > 0, col_sum / np.maximum(col_n, 1), 0.0)
+    for X in (X_train, X_val):
+        bad = ~np.isfinite(X)
+        if bad.any():
+            X[bad] = np.broadcast_to(means, X.shape)[bad]
+    return X_train, X_val
+
+
 class _VendoredLinearKernel:
     """Default kernel: vendored model + exact SHAP. Task from y dtype, like
     the reference's default-model rule (powershap.py:181-197): float y ->
@@ -226,6 +246,7 @@ class _VendoredLinearKernel:
             model = LinearRegressionModel() if is_regr else LogisticRegressionModel()
         else:
             model = type(model)()  # fresh copy per iteration, like clone()
+        X_train, X_val = impute_nonfinite(X_train, X_val)
         model.fit(X_train, Y_train, random_seed=random_seed)
         return linear_shap_values(model.coef_, X_train, X_val)
 
@@ -371,6 +392,29 @@ def resolve_kernel(model=None):
 # ---------------------------------------------------------------------------
 
 
+def _feature_matrix(pdf: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
+    """Block -> float64 matrix. Non-numeric (string / pandas category)
+    feature columns are ordinal-encoded per block — the stand-in for the
+    reference's catboost ``cat_features`` native handling
+    (tests/test_catboost_powershap.py:88-113); NaN codes stay NaN and flow
+    into the kernel's train-mean imputation."""
+    cols = []
+    for c in feature_cols:
+        s = pdf[c]
+        if isinstance(s.dtype, pd.CategoricalDtype):
+            codes = s.cat.codes.to_numpy(dtype=np.float64, copy=True)
+            codes[codes < 0] = np.nan
+            cols.append(codes)
+        elif s.dtype == object or str(s.dtype).startswith("str"):
+            codes, _ = pd.factorize(s, use_na_sentinel=True)
+            codes = codes.astype(np.float64)
+            codes[codes < 0] = np.nan
+            cols.append(codes)
+        else:
+            cols.append(s.to_numpy(dtype=np.float64, copy=True))
+    return np.column_stack(cols) if cols else np.empty((len(pdf), 0))
+
+
 def explain_iteration(
     pdf: pd.DataFrame,
     feature_cols: list[str],
@@ -405,7 +449,7 @@ def explain_iteration(
     if sort_cols:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
-    X = pdf[feature_cols].to_numpy(dtype=np.float64, copy=True)
+    X = _feature_matrix(pdf, feature_cols)
     y = pdf[label_col].to_numpy()
 
     if probe_mode == "keyed" and row_key_col is not None:
