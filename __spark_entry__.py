@@ -378,7 +378,11 @@ def q_embedding_cosine_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
-_FIXTURE_DIR = "/root/repo/tests/fixtures"
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures"
+)
 
 
 def q_transcript_features(spark, sf_dir):

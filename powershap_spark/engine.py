@@ -201,6 +201,7 @@ class SparkExplainBackend:
         cv=None,
         fit_kwargs: dict | None = None,
         show_progress: bool = False,
+        cv_start_pos: int = 0,
     ):
         from pyspark.sql import functions as F
 
@@ -215,7 +216,9 @@ class SparkExplainBackend:
         self.store = store
         self.phase = "main"
         self.cv = cv
-        self.cv_pos = 0  # absolute position in the selector-global cv stream
+        # absolute position in the selector-global cv stream (continues
+        # across fits like the reference's persistent closure state)
+        self.cv_pos = int(cv_start_pos)
         self.fit_kwargs = dict(fit_kwargs or {})
         self.show_progress = show_progress
 
@@ -319,12 +322,19 @@ class SparkExplainBackend:
                     f"explain batch: iterations {iteration_pairs[0][0]}"
                     f"..{iteration_pairs[-1][0]} over {self.n_parts} partitions",
                 )
-            res = (
-                self.df.withColumn("part_id", self.part_expr)
-                .groupBy("part_id")
-                .applyInPandas(fn, schema=_RESULT_SCHEMA)
-                .toPandas()
-            )
+            try:
+                res = (
+                    self.df.withColumn("part_id", self.part_expr)
+                    .groupBy("part_id")
+                    .applyInPandas(fn, schema=_RESULT_SCHEMA)
+                    .toPandas()
+                )
+            finally:
+                if self.show_progress:
+                    # don't leave the group attached to the user's thread
+                    sc = self.spark.sparkContext
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.description", None)
             wall = time.perf_counter() - t0
             if res.empty:
                 raise ValueError(
@@ -370,6 +380,7 @@ class PandasExplainBackend:
         store: CheckpointStore | None = None,
         cv=None,
         fit_kwargs: dict | None = None,
+        cv_start_pos: int = 0,
     ):
         self.pdf = X.copy()
         self.pdf["__label"] = np.asarray(y)
@@ -385,13 +396,16 @@ class PandasExplainBackend:
         self.store = store
         self.phase = "main"
         self.cv = cv
+        self.cv_pos = int(cv_start_pos)
         self._cv_gen = None
         self.fit_kwargs = dict(fit_kwargs or {})
 
     def _next_split(self):
-        """One split from the selector-global cv stream (reference
-        shap_explainer.py:104-107: the generator is created once per fit
-        inputs and consumed one split per iteration, across batches)."""
+        """One split from the selector-global cv stream. The backend NEVER
+        generates from the selector's InfiniteSplitter directly (that would
+        leave a live — unpicklable — generator on shared state); it
+        reconstructs the stream at its starting position from a pristine
+        copy, exactly like the Spark backend's executor-side fast-forward."""
         if self._cv_gen is None:
             y_ = (
                 self.pdf["__strat"].to_numpy()
@@ -399,7 +413,10 @@ class PandasExplainBackend:
                 else self.pdf["__label"].to_numpy()
             )
             grp = self.pdf["__groups"].to_numpy() if self.has_groups else None
-            self._cv_gen = self.cv.split(np.zeros((len(self.pdf), 1)), y=y_, groups=grp)
+            self._cv_gen = self.cv.at_position(
+                self.cv_pos, np.zeros((len(self.pdf), 1)), y=y_, groups=grp
+            )
+        self.cv_pos += 1
         return next(self._cv_gen)
 
     def explain(self, loop_its, seed_start, exclude_cols=None, extra_fit_kwargs=None) -> pd.DataFrame:
@@ -491,6 +508,10 @@ class PowerShapSelector:
         from .splitters import InfiniteSplitter
 
         self.cv = InfiniteSplitter(cv) if cv is not None else None
+        # total splits consumed across fits — the selector-global stream
+        # position (the pristine InfiniteSplitter is never generated from
+        # directly; backends reconstruct at this position)
+        self._cv_consumed = 0
         self.show_progress = show_progress
         self.verbose = verbose
         self.n_parts = n_parts
@@ -535,7 +556,7 @@ class PowerShapSelector:
                 strat = np.asarray(y)
             backend = PandasExplainBackend(
                 X, y, self.val_size, strat, groups, self.model, store,
-                cv=self.cv, fit_kwargs=fit_kw,
+                cv=self.cv, fit_kwargs=fit_kw, cv_start_pos=self._cv_consumed,
             )
             self.feature_names_in_ = np.asarray(list(X.columns))
         else:  # Spark DataFrame
@@ -565,6 +586,7 @@ class PowerShapSelector:
                 cv=self.cv,
                 fit_kwargs=fit_kw,
                 show_progress=self.show_progress,
+                cv_start_pos=self._cv_consumed,
             )
             self.feature_names_in_ = np.asarray(feature_cols)
 
@@ -586,6 +608,9 @@ class PowerShapSelector:
                 if self.force_convergence:
                     processed = self._convergence_fit(backend, processed, loop_its)
         finally:
+            # the stream position survives across fits (reference closure
+            # semantics, powershap.py:144-176)
+            self._cv_consumed = backend.cv_pos if self.cv is not None else 0
             # release the cached projected matrix — repeated fits in one
             # session must not accumulate cached DataFrames
             release = getattr(backend, "release", None)

@@ -209,8 +209,11 @@ def impute_nonfinite(X_train: np.ndarray, X_val: np.ndarray):
     Inf columns and rows and rely on catboost's native missing-value
     handling (tests/test_catboost_powershap.py:44-113); the vendored linear
     models get the equivalent via train-only imputation — no val leakage."""
-    X_train = np.asarray(X_train, dtype=np.float64).copy()
-    X_val = np.asarray(X_val, dtype=np.float64).copy()
+    X_train = np.asarray(X_train, dtype=np.float64)
+    X_val = np.asarray(X_val, dtype=np.float64)
+    if np.isfinite(X_train).all() and np.isfinite(X_val).all():
+        return X_train, X_val  # common case: no copies in the hot loop
+    X_train, X_val = X_train.copy(), X_val.copy()
     finite = np.isfinite(X_train)
     with np.errstate(invalid="ignore"):
         col_sum = np.where(finite, X_train, 0.0).sum(axis=0)
@@ -406,10 +409,16 @@ def _feature_matrix(pdf: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
             codes[codes < 0] = np.nan
             cols.append(codes)
         elif s.dtype == object or str(s.dtype).startswith("str"):
-            codes, _ = pd.factorize(s, use_na_sentinel=True)
-            codes = codes.astype(np.float64)
-            codes[codes < 0] = np.nan
-            cols.append(codes)
+            # object dtype may still hold numbers (CSV parses, merges):
+            # coerce first; factorize ONLY when genuinely non-numeric
+            num = pd.to_numeric(s, errors="coerce")
+            if (num.isna().to_numpy() == s.isna().to_numpy()).all():
+                cols.append(num.to_numpy(dtype=np.float64, copy=True))
+            else:
+                codes, _ = pd.factorize(s, use_na_sentinel=True)
+                codes = codes.astype(np.float64)
+                codes[codes < 0] = np.nan
+                cols.append(codes)
         else:
             cols.append(s.to_numpy(dtype=np.float64, copy=True))
     return np.column_stack(cols) if cols else np.empty((len(pdf), 0))

@@ -118,9 +118,14 @@ def frame_sample(
         df.select(
             *[F.col(c).cast("long").alias(c) for c in id_cols],
             F.col(media_col).alias("__media"),
+            # n_frames = 0 must yield zero rows, not a sequence(0,-1) error:
+            # explode drops the null array
             F.explode(
-                F.sequence(
-                    F.lit(0), F.col(n_frames_col) - 1, F.lit(int(every_k))
+                F.when(
+                    F.col(n_frames_col) >= 1,
+                    F.sequence(
+                        F.lit(0), F.col(n_frames_col) - 1, F.lit(int(every_k))
+                    ),
                 )
             ).alias("frame_idx"),
         )

@@ -100,7 +100,7 @@ def lsh_bucket(
                 F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0))
-        else:
+        elif hash_family == "poly":
             a_p, b_p = a_l[p], b_l[p]
             sign = lambda i: F.when(
                 F.pmod(
@@ -113,6 +113,8 @@ def lsh_bucket(
                 == 1,
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0))
+        else:
+            raise ValueError(f"unknown hash_family {hash_family!r}")
         proj = F.aggregate(
             F.zip_with(
                 v,
@@ -217,11 +219,22 @@ def ivf_topk(
     Scale shape: candidates come from an equi-join on ``cell`` — work
     proportional to the probed cells only, never an all-pairs scan."""
     cents = stride_centroids(embeddings, stride, id_col, vec_col)
+    if not cents:
+        raise ValueError(
+            f"no centroids: no {id_col} divisible by stride={stride} — "
+            "lower the stride"
+        )
+
+    def best_cell(vec):
+        scores = _cell_scores(vec, cents)
+        if len(scores) == 1:  # greatest() needs >= 2 columns
+            return F.lit(cents[0][0])
+        return -F.greatest(*scores)["negcell"]
 
     e = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("__ev"),
-        (-F.greatest(*_cell_scores(F.col(vec_col), cents))["negcell"]).alias("cell"),
+        best_cell(F.col(vec_col)).alias("cell"),
     )
     # per query: rank all cells, keep the best nprobe
     qcells = queries.select(

@@ -92,8 +92,13 @@ def stream_transcripts(
 
 
 def _tok_count(texts: pd.Series) -> pd.Series:
-    t = texts.fillna("").str.strip()
-    return t.str.split().str.len().fillna(0).astype("int64")
+    """Single-space token count — EXACTLY windows.text_stats_fast's
+    n_tokens (space count + 1, 0 for blank), so streamed n_tokens_avg_past
+    is bit-comparable to the batch feature build on the same corpus."""
+    t = texts.fillna("")
+    spaces = t.str.len() - t.str.replace(" ", "", regex=False).str.len()
+    blank = t.str.strip().str.len() == 0
+    return (spaces + 1).where(~blank, 0).astype("int64")
 
 
 def streaming_turn_features(

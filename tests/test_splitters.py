@@ -283,3 +283,19 @@ def test_cv_spark_backend_matches_pandas(spark, clf_xy):
     a = sel_pd._processed_shaps_df.sort_index()
     b = sel_sp._processed_shaps_df.sort_index()
     pd.testing.assert_frame_equal(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_cv_selector_reusable_across_backends(spark, clf_xy):
+    """The selector's InfiniteSplitter stays pristine (no live generator):
+    a pandas fit followed by a Spark fit on the SAME selector must work
+    (the Spark backend pickles the cv into executor tasks), and the stream
+    position continues across fits like the reference's closure state."""
+    X, y = clf_xy
+    sel = PowerShapSelector(power_iterations=3, automatic=False, cv=KFold(3))
+    sel.fit(X, y)
+    assert sel._cv_consumed == 3
+    sel.fit(X, y)
+    assert sel._cv_consumed == 6
+    sdf = spark.createDataFrame(X.assign(label=y))
+    sel.fit(sdf, label_col="label", feature_cols=list(X.columns))  # must pickle
+    assert sel._cv_consumed == 9

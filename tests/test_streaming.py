@@ -44,7 +44,9 @@ def _expected(pdf: pd.DataFrame) -> pd.DataFrame:
                 )
             )
             n += 1
-            tok_sum += float(len(str(r.text).split()))
+            txt = str(r.text)
+            n_tok = 0 if not txt.strip() else txt.count(" ") + 1
+            tok_sum += float(n_tok)
             last_ts = ep
             if isinstance(r.tool, str):
                 last_tool = r.tool

@@ -281,3 +281,42 @@ def test_embedding_cosine_dedup_drops_planted_near_dups(spark):
     assert 0 in kept and 5 in kept
     assert 20 not in kept and 21 not in kept
     assert len(kept) >= 18  # random vectors survive
+
+
+def test_frame_sample_zero_frames_yields_no_rows(spark):
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "media": [b"aa", b"bb"], "n_frames": [0, 3]}
+        )
+    )
+    out = frame_sample(media, every_k=2).toPandas()
+    assert set(out.doc_id) == {2}
+    assert list(out[out.doc_id == 2].frame_idx) == [0, 2]
+
+
+def test_ivf_single_centroid_and_bad_family(spark, emb):
+    from powershap_spark.operators.similarity import ivf_topk, lsh_topk
+
+    sdf, _ = emb
+    q = sdf.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # stride > max id -> exactly one centroid (vec_id 0); single cell
+    out = ivf_topk(sdf, q, k=3, stride=1000, nprobe=1).toPandas()
+    assert (out.groupby("query_id")["rank"].max() == 3).all()
+    with pytest.raises(Exception):
+        lsh_topk(sdf, q, k=3, hash_family="xxHash").toPandas()
+
+
+def test_feature_matrix_numeric_object_column_preserved():
+    from powershap_spark.kernel import _feature_matrix
+
+    pdf = pd.DataFrame(
+        {
+            "a": pd.Series([3.7, 120.5, 3.7], dtype=object),
+            "b": ["x", "y", "x"],
+        }
+    )
+    m = _feature_matrix(pdf, ["a", "b"])
+    assert list(m[:, 0]) == [3.7, 120.5, 3.7]  # numeric values kept
+    assert m[0, 1] == m[2, 1] and m[0, 1] != m[1, 1]  # ordinal codes
