@@ -27,16 +27,16 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def build_transcripts(spark, sf: float, seed: int = 42):
+def build_transcripts(spark, sf: float, seed: int = 42, hot_frac: float = 0.10):
     """~6M turns per sf unit -> sf0.1 ~= 600k turns (TESTDATA.md bench
-    scale), with one hot conversation holding ~10% of rows."""
+    scale), with one hot conversation holding ~hot_frac of rows."""
     from powershap_spark import synth
 
     mean_turns = 25
     target_turns = 6_000_000 * sf
     n_conv = max(20, int(target_turns / ((mean_turns + 2) * 1.21)))
     t = synth.transcripts(
-        spark, n_conv=n_conv, mean_turns=mean_turns, hot_frac=0.10, skew_safe=True
+        spark, n_conv=n_conv, mean_turns=mean_turns, hot_frac=hot_frac, skew_safe=True
     )
     p = synth.probes(spark, t, probe_frac=0.2, task="classification")
     return t, p

@@ -34,9 +34,14 @@ def main():
         app_name=f"prof{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle
     )
 
-    base = f"/tmp/bench_input_sf{sf}"
+    # BENCH_HOT_FRAC overrides the planted hot-conversation share (default
+    # 0.10 per FIXTURES.md); a near-zero value is the no-straggler control
+    # cell that separates the Amdahl effect from memory-bandwidth limits
+    hot_frac = float(os.environ.get("BENCH_HOT_FRAC", "0.10"))
+    suffix = "" if hot_frac == 0.10 else f"_h{hot_frac}"
+    base = f"/tmp/bench_input_sf{sf}{suffix}"
     if not os.path.exists(base + "/transcripts/_SUCCESS"):
-        t, p = build_transcripts(spark, sf)
+        t, p = build_transcripts(spark, sf, hot_frac=hot_frac)
         t.write.mode("overwrite").parquet(base + "/transcripts")
         p.write.mode("overwrite").parquet(base + "/probes")
     t = spark.read.parquet(base + "/transcripts")
