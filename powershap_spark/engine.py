@@ -323,9 +323,17 @@ class SparkExplainBackend:
                     f"..{iteration_pairs[-1][0]} over {self.n_parts} partitions",
                 )
             try:
+                src = self.df.withColumn("part_id", self.part_expr)
+                if self.n_parts > 1:
+                    # pin the exchange to exactly n_parts partitions (one
+                    # group per partition): hashpartitioning(part_id,
+                    # n_parts) already satisfies the groupBy's required
+                    # distribution, so this does NOT add a second shuffle —
+                    # it replaces the spark.sql.shuffle.partitions-sized one
+                    # that would pack several groups per task (stragglers)
+                    src = src.repartition(self.n_parts, "part_id")
                 res = (
-                    self.df.withColumn("part_id", self.part_expr)
-                    .groupBy("part_id")
+                    src.groupBy("part_id")
                     .applyInPandas(fn, schema=_RESULT_SCHEMA)
                     .toPandas()
                 )
