@@ -40,6 +40,7 @@ __all__ = [
     "bfill",
     "row_number_ordered",
     "text_stats",
+    "text_stats_ints",
     "build_features",
 ]
 
@@ -231,6 +232,28 @@ def text_stats_fast(text_col: str = "text") -> dict[str, Column]:
         ).cast("double"),
         "n_punct": (n_chars - F.length(F.translate(t, ".,;:!?", ""))).cast("int"),
         "upper_ratio": F.when(n_chars > 0, upper / n_chars).cast("double"),
+    }
+
+
+def text_stats_ints(text_col: str = "text") -> dict[str, Column]:
+    """Shuffle-lean integer projection of ``text_stats_fast``: ONLY int32
+    scalars. The ratio features are reconstructed AFTER the per-conversation
+    window shuffle from these ints (``avg_token_len = n_nonspace/n_tokens``)
+    — identical double values, but the rows carried through the window
+    exchange+sort hold four 4-byte ints instead of mixed ints/doubles. At
+    10^12 turns the window shuffle is the dominant byte mover, so every
+    column dropped or narrowed here is ~8 bytes/row of exchange+sort+spill
+    traffic saved (the 100-TB lever VERDICT r2 'Next round' #1 names)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_nonspace = F.length(F.translate(t, " ", ""))
+    n_spaces = n_chars - n_nonspace
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    return {
+        "text_len": n_chars.cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "n_nonspace": n_nonspace.cast("int"),
+        "n_punct": (n_chars - F.length(F.translate(t, ".,;:!?", ""))).cast("int"),
     }
 
 

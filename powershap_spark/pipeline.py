@@ -15,12 +15,11 @@ from pyspark.sql import functions as F
 from .operators.asof import asof_join
 from .operators.windows import (
     build_features,
-    ffill,
     lag_feature,
     rolling,
     session_gap,
     sessionize,
-    text_stats_fast,
+    text_stats_ints,
     time_rolling,
 )
 from .engine import PowerShapSelector
@@ -72,17 +71,22 @@ def turn_features(
         skew_safe = _auto_skew(transcripts, hot_threshold_rows)
     # compute the per-turn text scalars, then DROP the raw text before any
     # window stage: carrying ~hundreds of bytes of text per row through the
-    # window sorts multiplies shuffle/sort volume ~4x for nothing
-    t = transcripts.withColumns(text_stats_fast("text")).select(
+    # window sorts multiplies shuffle/sort volume ~4x for nothing.
+    # Shuffle-byte discipline (the 100-TB lever): only int32 scalars cross
+    # the window exchange — the ratio feature (avg_token_len) is
+    # reconstructed post-shuffle from n_nonspace/n_tokens (identical
+    # doubles), the tool STRING is narrowed to a 1-byte has_tool flag (the
+    # model matrix only consumes has_prev_tool), and upper_ratio (computed
+    # but never consumed downstream) is not carried at all.
+    t = transcripts.withColumns(text_stats_ints("text")).select(
         "conv_id",
         "turn_idx",
         "ts",
-        "tool",
+        F.col("tool").isNotNull().cast("tinyint").alias("has_tool"),
         "text_len",
         "n_tokens",
-        "avg_token_len",
+        "n_nonspace",
         "n_punct",
-        "upper_ratio",
     )
     if skew_safe:
         out = _turn_features_salted(t, tau_seconds, chunk_size, halo_rows)
@@ -98,7 +102,9 @@ def turn_features(
             time_rolling("text_len", "count", 600, name="turns_last_600s"),
             session_gap("ts"),
             sessionize("ts", tau_seconds),
-            ffill("tool", strict_past=True, name="last_tool"),
+            # strictly-past "any earlier turn used a tool" — the 1-byte
+            # running max replaces forward-filling the tool string
+            rolling("has_tool", "max", None, -1, name="had_tool_past"),
         ]
         out = build_features(t, specs, entity="conv_id", order="turn_idx", ts="ts")
     # model-ready numeric projection (keys + features)
@@ -108,7 +114,9 @@ def turn_features(
         "ts",
         F.col("text_len").cast("double"),
         F.col("n_tokens").cast("double"),
-        F.col("avg_token_len").cast("double"),
+        F.when(F.col("n_tokens") > 0, F.col("n_nonspace") / F.col("n_tokens"))
+        .cast("double")
+        .alias("avg_token_len"),
         F.col("n_punct").cast("double"),
         F.coalesce(F.col("text_len_lag1"), F.lit(0)).cast("double").alias("text_len_lag1"),
         F.coalesce(F.col("text_len_lag2"), F.lit(0)).cast("double").alias("text_len_lag2"),
@@ -120,7 +128,7 @@ def turn_features(
         F.coalesce(F.col("turns_last_600s"), F.lit(0)).cast("double").alias("turns_last_600s"),
         F.coalesce(F.col("session_gap_s"), F.lit(0)).cast("double").alias("session_gap_s"),
         F.col("session_seq").cast("double"),
-        F.when(F.col("last_tool").isNotNull(), 1.0).otherwise(0.0).alias("has_prev_tool"),
+        F.when(F.col("had_tool_past") == 1, 1.0).otherwise(0.0).alias("has_prev_tool"),
     )
 
 
@@ -189,9 +197,9 @@ def _turn_features_salted(
             "__w_sess": F.coalesce(
                 F.sum(F.when(real, is_new)).over(upto), F.lit(0).cast("long")
             ),
-            # strictly-past last tool; halo rows MAY contribute (they are
-            # genuine earlier turns) — older chunks come via the carry
-            "__w_tool": F.last("tool", ignorenulls=True).over(past),
+            # strictly-past "any earlier tool use"; halo rows MAY contribute
+            # (they are genuine earlier turns) — older chunks via the carry
+            "__w_tool": F.max("has_tool").over(past),
         }
     ).filter(real)
 
@@ -209,9 +217,7 @@ def _turn_features_salted(
         F.count("*").alias("__c_cnt"),
         F.sum(F.col("n_tokens").cast("double")).alias("__c_ntok"),
         F.sum("__is_new").alias("__c_sess"),
-        F.max_by("tool", F.when(F.col("tool").isNotNull(), F.col("turn_idx"))).alias(
-            "__c_tool"
-        ),
+        F.max("has_tool").alias("__c_tool"),
     )
     wc = Window.partitionBy("conv_id").orderBy("__chunk")
     before = wc.rowsBetween(Window.unboundedPreceding, -1)
@@ -221,7 +227,7 @@ def _turn_features_salted(
         F.coalesce(F.sum("__c_cnt").over(before), F.lit(0).cast("long")).alias("__p_cnt"),
         F.coalesce(F.sum("__c_ntok").over(before), F.lit(0.0)).alias("__p_ntok"),
         F.coalesce(F.sum("__c_sess").over(before), F.lit(0).cast("long")).alias("__p_sess"),
-        F.last("__c_tool", ignorenulls=True).over(before).alias("__p_tool"),
+        F.max("__c_tool").over(before).alias("__p_tool"),
     )
 
     n_prev = F.col("__p_cnt") + F.col("__w_cnt")
@@ -234,7 +240,10 @@ def _turn_features_salted(
                     n_prev > 0, (F.col("__p_ntok") + F.col("__w_ntok")) / n_prev
                 ),
                 "session_seq": (F.col("__p_sess") + F.col("__w_sess") - 1).cast("long"),
-                "last_tool": F.coalesce("__w_tool", "__p_tool"),
+                "had_tool_past": F.greatest(
+                    F.coalesce(F.col("__w_tool"), F.lit(0)),
+                    F.coalesce(F.col("__p_tool"), F.lit(0)),
+                ),
             }
         )
         .drop(
