@@ -1,8 +1,15 @@
 """Tracked persists: the diamond plans (salted feature build, bucketed
-as-of join) must materialize a shared subtree once, but a library operator
-cannot know when its caller's last action over the result has run — so it
-registers the persisted DataFrame here and the pipeline-level entry points
-release everything when their work completes.
+as-of join, minhash signatures) must materialize a shared subtree once, but
+a library operator cannot know when its caller's last action over the result
+has run — so it registers the persisted DataFrame here and the pipeline-level
+entry points release everything when their work completes.
+
+Tracking is SCOPED: ``tracking_scope()`` pushes a fresh per-thread registry,
+so two pipelines running concurrently on one driver release only their own
+persists (a global registry would let pipeline A unpersist pipeline B's
+mid-flight diamond, silently reintroducing the double-execution the persist
+exists to prevent). Outside any scope, registrations fall back to a global
+list that ``release_tracked()`` drains — the REPL / single-pipeline case.
 
 Unpersisting is always safe: a released DataFrame that is re-executed later
 just recomputes its lineage.
@@ -10,26 +17,58 @@ just recomputes its lineage.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 
-_TRACKED: list = []
+_LOCAL = threading.local()
+_GLOBAL: list = []
+
+
+def _stack() -> list:
+    st = getattr(_LOCAL, "stack", None)
+    if st is None:
+        st = _LOCAL.stack = []
+    return st
 
 
 def tracked_persist(df, level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
-    """persist + register for later release_tracked()."""
+    """persist + register in the innermost active ``tracking_scope`` of this
+    thread (or the global registry when no scope is active)."""
     df.persist(level)
-    _TRACKED.append(df)
+    st = _stack()
+    (st[-1] if st else _GLOBAL).append(df)
     return df
 
 
-def release_tracked() -> int:
-    """Unpersist every tracked DataFrame (blocking=False); returns count."""
+def _release(dfs: list) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while dfs:
+        df = dfs.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
     return n
+
+
+class tracking_scope:
+    """Context manager: persists registered inside are released on exit —
+    and ONLY those, so concurrent pipelines don't release each other's."""
+
+    def __enter__(self):
+        _stack().append([])
+        return self
+
+    def __exit__(self, *exc):
+        _release(_stack().pop())
+        return False
+
+
+def release_tracked() -> int:
+    """Unpersist every DataFrame in the innermost active scope of this
+    thread, or in the global registry when no scope is active; returns the
+    count released."""
+    st = _stack()
+    return _release(st[-1] if st else _GLOBAL)

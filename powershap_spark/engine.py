@@ -131,6 +131,20 @@ def _make_group_fn(
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         gen, cur = None, -1
+
+        def _cv_error(e):
+            # a whole-dataset splitter applied to one partition BLOCK can
+            # fail data-dependently (fewer groups than n_splits, a single-
+            # member class in the block); surface what to change instead of
+            # a bare executor traceback
+            return ValueError(
+                f"cv split failed inside partition block part_id={part_id} "
+                f"({len(pdf)} rows): {e}. With n_parts>1 each block must "
+                "independently satisfy the splitter's group/class "
+                "requirements — reduce n_parts, or set part_by to a column "
+                "that keeps whole groups/classes together per block."
+            )
+
         if cv is not None:
             import numpy as _np
 
@@ -141,17 +155,23 @@ def _make_group_fn(
             )
             grp = pdf[group_col].to_numpy() if group_col else None
             first = cv_positions[iteration_pairs[0][0]]
-            gen = cv.at_position(first, _np.zeros((len(pdf), 1)), y=y_, groups=grp)
+            try:
+                gen = cv.at_position(first, _np.zeros((len(pdf), 1)), y=y_, groups=grp)
+            except ValueError as e:
+                raise _cv_error(e) from e
             cur = first
         outs = []
         for global_it, local_i in iteration_pairs:
             split = None
             if gen is not None:
                 target = cv_positions[global_it]
-                while cur < target:
-                    next(gen)
-                    cur += 1
-                split = next(gen)
+                try:
+                    while cur < target:
+                        next(gen)
+                        cur += 1
+                    split = next(gen)
+                except ValueError as e:
+                    raise _cv_error(e) from e
                 cur += 1
             t0 = time.perf_counter()
             out = explain_iteration(
@@ -276,9 +296,12 @@ class SparkExplainBackend:
 
         # every iteration consumes exactly one split from the selector-global
         # cv stream, cached or not — positions stay aligned under checkpoint
-        # resume because the driver control flow replays identically
+        # resume because the driver control flow replays identically.
+        # cv_pos itself only advances AFTER the batch completes (below):
+        # consume-on-use, so a failed batch leaves the stream where it was
+        # and an in-process retry replays the same splits (the reference's
+        # sequential-generator semantics)
         cv_positions = {g: self.cv_pos + i for i, g in enumerate(sorted(global_its))}
-        self.cv_pos += len(global_its)
         fit_kw = {**self.fit_kwargs, **(extra_fit_kwargs or {})}
 
         long_parts: list[pd.DataFrame] = []
@@ -370,6 +393,7 @@ class SparkExplainBackend:
         long_df = pd.concat(long_parts, ignore_index=True)
         long_df = long_df[long_df["iteration"].isin(global_its)]
         wide = shaps_long_to_wide(long_df, feats + [RANDOM_COL])
+        self.cv_pos += len(global_its)  # batch completed: consume the splits
         return wide
 
 

@@ -142,17 +142,43 @@ class LinearRegressionModel:
 
 @dataclass
 class LogisticRegressionModel:
-    """Binary logistic regression via IRLS (Newton) with small L2."""
+    """Logistic regression via IRLS (Newton) with small L2.
+
+    Binary labels fit one decision function (``coef_`` is 1-D). Three or
+    more classes fit one-vs-rest — ``coef_`` becomes (n_classes, m) and the
+    downstream linear SHAP is per-output 3-D, reduced by the reference's
+    max-over-outputs rule (shap_explainer.py:173-177), exactly the shape
+    catboost multiclass produces for the reference."""
 
     l2: float = 1e-6
     max_iter: int = 25
     tol: float = 1e-8
     coef_: np.ndarray | None = None
     intercept_: float = 0.0
+    classes_: np.ndarray | None = None
 
     def fit(self, X: np.ndarray, y: np.ndarray, random_seed: int = 0):
         X = np.asarray(X, dtype=np.float64)
-        y = np.asarray(y, dtype=np.float64)
+        y_raw = np.asarray(y)
+        self.classes_ = np.unique(y_raw)
+        if len(self.classes_) > 2:
+            # one-vs-rest: k independent binary IRLS fits on the same
+            # standardized design (reference parity: catboost multiclass ->
+            # per-class SHAP outputs; OvR is the linear-model analogue)
+            ws, bs = [], []
+            for c in self.classes_:
+                sub = LogisticRegressionModel(
+                    l2=self.l2, max_iter=self.max_iter, tol=self.tol
+                )
+                sub.fit(X, (y_raw == c).astype(np.float64), random_seed=random_seed)
+                ws.append(sub.coef_)
+                bs.append(sub.intercept_)
+            self.coef_ = np.vstack(ws)
+            self.intercept_ = np.asarray(bs)
+            return self
+        y = y_raw.astype(np.float64)
+        if len(self.classes_) == 2 and not set(np.unique(y)) <= {0.0, 1.0}:
+            y = (y_raw == self.classes_[1]).astype(np.float64)
         # standardize internally for conditioning; fold back at the end
         mu, sd = X.mean(axis=0), X.std(axis=0)
         sd = np.where(sd < 1e-12, 1.0, sd)
@@ -189,13 +215,32 @@ class LogisticRegressionModel:
         return self
 
     def decision_function(self, X: np.ndarray) -> np.ndarray:
-        return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+        X = np.asarray(X, dtype=np.float64)
+        if self.coef_ is not None and self.coef_.ndim == 2:
+            return X @ self.coef_.T + np.asarray(self.intercept_)[None, :]
+        return X @ self.coef_ + self.intercept_
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        d = self.decision_function(X)
+        if d.ndim == 2:
+            return self.classes_[np.argmax(d, axis=1)]
+        return self.classes_[(d > 0).astype(int)] if self.classes_ is not None else (
+            d > 0
+        ).astype(int)
 
 
 def linear_shap_values(coef: np.ndarray, X_train: np.ndarray, X_val: np.ndarray) -> np.ndarray:
-    """Exact interventional linear SHAP: phi_ij = coef_j * (x_ij - mean_train_j)."""
+    """Exact interventional linear SHAP: phi_ij = coef_j * (x_ij - mean_train_j).
+
+    1-D coef -> (n_val, m); 2-D OvR coef (k, m) -> per-output (n_val, m, k),
+    the multi-output layout the reference reduces with max-over-outputs
+    (shap_explainer.py:173-177)."""
+    coef = np.asarray(coef)
     mu = np.asarray(X_train, dtype=np.float64).mean(axis=0)
-    return (np.asarray(X_val, dtype=np.float64) - mu) * np.asarray(coef)[None, :]
+    centered = np.asarray(X_val, dtype=np.float64) - mu
+    if coef.ndim == 2:
+        return centered[:, :, None] * coef.T[None, :, :]
+    return centered * coef[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +291,14 @@ class _VendoredLinearKernel:
             is_regr = np.issubdtype(y.dtype, np.number) and not np.issubdtype(
                 y.dtype, np.integer
             )
+            if not is_regr and len(np.unique(y.ravel())) >= 5:
+                # reference warns-but-classifies here (powershap.py:190-194)
+                import warnings
+
+                warnings.warn(
+                    "Classifying although there are >= 5 integers in the labels.",
+                    UserWarning,
+                )
             model = LinearRegressionModel() if is_regr else LogisticRegressionModel()
         else:
             model = type(model)()  # fresh copy per iteration, like clone()

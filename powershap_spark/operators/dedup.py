@@ -257,14 +257,21 @@ def minhash_dedup(
     """Near-dup removal: LSH candidates -> estimated-Jaccard filter ->
     drop the higher id of each surviving pair (greedy, transitive via
     keeping only ids that are never a 'b' side)."""
-    # cache the signatures: the LSH self-join reads them from both sides and
-    # recomputing the shingle+hash expression tree twice dominates runtime
-    sigs = df.select(
-        F.col(id_col),
-        minhash_signature(
-            shingles(text_col, shingle_n), num_hashes, hash_family=hash_family
-        ).alias("minhash"),
-    ).cache()
+    # persist the signatures: the LSH self-join reads them from both sides
+    # and recomputing the shingle+hash expression tree twice dominates
+    # runtime. Registered with the tracked-persist discipline so callers
+    # (or a surrounding tracking_scope) release it — a bare .cache() here
+    # accumulated blocks across repeated dedup calls in one session.
+    from ..caching import tracked_persist
+
+    sigs = tracked_persist(
+        df.select(
+            F.col(id_col),
+            minhash_signature(
+                shingles(text_col, shingle_n), num_hashes, hash_family=hash_family
+            ).alias("minhash"),
+        )
+    )
     dupes = (
         lsh_candidate_pairs(
             sigs,

@@ -330,19 +330,18 @@ def select_features(
     feature pipeline just to count rows per conversation."""
     if skew_safe == "auto":
         skew_safe = _auto_skew(transcripts, hot_threshold_rows)
-    feats = turn_features(transcripts, tau_seconds, skew_safe=skew_safe)
-    mat = point_in_time_matrix(feats, probes, tau_seconds, skew_safe=skew_safe)
-    mat = mat.filter(F.col("feature_ts").isNotNull())  # probes before conv start
-    sel = selector or PowerShapSelector(
-        sort_cols=["conv_id", "ts"], **selector_kw
-    )
-    try:
-        sel.fit(mat, label_col="label", feature_cols=FEATURE_COLS)
-    finally:
-        # the fit has run every action over the matrix; release the diamond
-        # persists (salted feature build / bucketed as-of) so repeated
-        # pipeline runs in one session don't accumulate cached blocks
-        from .caching import release_tracked
+    # a tracking scope bounds the diamond persists (salted feature build /
+    # bucketed as-of) to THIS pipeline run: the fit is the last action over
+    # the matrix, and scope exit releases exactly the persists registered
+    # inside — concurrent pipelines on one driver don't release each other's
+    from .caching import tracking_scope
 
-        release_tracked()
+    with tracking_scope():
+        feats = turn_features(transcripts, tau_seconds, skew_safe=skew_safe)
+        mat = point_in_time_matrix(feats, probes, tau_seconds, skew_safe=skew_safe)
+        mat = mat.filter(F.col("feature_ts").isNotNull())  # probes before conv start
+        sel = selector or PowerShapSelector(
+            sort_cols=["conv_id", "ts"], **selector_kw
+        )
+        sel.fit(mat, label_col="label", feature_cols=FEATURE_COLS)
     return sel, mat

@@ -23,8 +23,9 @@ algorithm descriptions / source (BSD-3), matched RNG-call-for-RNG-call:
 - ``KFold`` / ``StratifiedKFold`` / ``GroupKFold``: mask-based contiguous /
   allocation-interleaved / balanced-greedy folds.
 - ``StratifiedGroupKFold``: the greedy variance-minimizing assignment; under
-  ``shuffle=True`` the group order is permuted with group identity kept
-  attached (the counts row and its group index move together).
+  ``shuffle=True`` the per-group counts-matrix rows are shuffled IN PLACE
+  with the permutation untracked — decoupling each group's identity from
+  its counts row — exactly replicating sklearn's implementation quirk.
 
 All ``split`` methods take (X, y=None, groups=None) and yield
 (train_idx, test_idx) position arrays, mirroring the sklearn API shape the
@@ -349,13 +350,21 @@ class StratifiedGroupKFold(_BaseKFold):
         y_counts_per_fold = np.zeros((self.n_splits, n_classes))
         groups_per_fold = [set() for _ in range(self.n_splits)]
 
-        # permute group order (identity kept attached), then stable-sort by
-        # class-distribution std so equal-variance groups keep shuffled order
-        group_order = np.arange(n_groups)
+        # sklearn-exact shuffle quirk: the counts-matrix ROWS are shuffled
+        # IN PLACE with the permutation untracked, so from here on
+        # "group_idx" refers to a shuffled counts row while the final
+        # test-index selection still matches against the ORIGINAL encoded
+        # groups — group identity is deliberately decoupled from its counts
+        # row, exactly like sklearn's StratifiedGroupKFold(shuffle=True)
+        # (an upstream quirk the parity contract must reproduce; a previous
+        # version here kept identity attached and diverged from sklearn)
         if self.shuffle:
-            rng.shuffle(group_order)
-        stds = np.std(y_counts_per_group[group_order], axis=1)
-        sorted_order = group_order[np.argsort(-stds, kind="mergesort")]
+            rng.shuffle(y_counts_per_group)
+
+        # stable sort keeps shuffled order for equal-variance groups
+        sorted_order = np.argsort(
+            -np.std(y_counts_per_group, axis=1), kind="mergesort"
+        )
 
         for group_idx in sorted_order:
             group_y_counts = y_counts_per_group[group_idx]
@@ -429,7 +438,34 @@ class InfiniteSplitter:
                 yield next(self._splitter)
 
     def at_position(self, position: int, X, y=None, groups=None):
+        """O(position % n_splits) reconstruction, not O(position): cycle ``c``
+        of the stream runs the wrapped cv with ``random_state = c`` (or
+        identically when it has no random_state), so jumping means setting
+        the re-seed counter to ``position // n_splits`` and generating only
+        the within-cycle offset. Positions grow monotonically across explain
+        batches in long automatic/convergence runs — the sequential
+        fast-forward was quadratic over a selector's lifetime.
+
+        Assumes ``get_n_splits`` reports the true number of splits per
+        cycle (the sklearn contract); a cv without a usable ``get_n_splits``
+        falls back to the sequential walk."""
         fresh = InfiniteSplitter(self.cv)
+        k = None
+        try:
+            k = int(self.cv.get_n_splits(X, y, groups))
+        except TypeError:
+            try:
+                k = int(self.cv.get_n_splits())
+            except Exception:
+                k = None
+        except Exception:
+            k = None
+        if k and k > 0 and position >= k:
+            # cycle c uses random_state=c when the attribute exists;
+            # without the attribute every cycle is identical, so the
+            # modulo alone is the jump
+            fresh._random_state = position // k
+            position = position % k
         gen = fresh.split(X, y=y, groups=groups)
         for _ in range(position):
             next(gen)

@@ -129,39 +129,60 @@ def streaming_turn_features(
             n_turns, tok_sum, last_ts, session_seq, last_tool = state.get
         else:
             n_turns, tok_sum, last_ts, session_seq, last_tool = 0, 0.0, None, -1, None
+        import numpy as np
+
         out = []
         for pdf in pdfs:
+            n = len(pdf)
+            if n == 0:
+                continue
             pdf = pdf.sort_values("turn_idx", kind="mergesort")
-            toks = _tok_count(pdf["text"])
-            ep = pdf["ts"].astype("int64") / 1e9
-            rows = {
-                "conv_id": pdf["conv_id"].to_numpy(),
-                "turn_idx": pdf["turn_idx"].to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                "text_len": pdf["text"].fillna("").str.len().to_numpy("int32"),
-            }
-            n_prev, tok_avg, gaps, seqs, tools = [], [], [], [], []
-            for tok, e, tool in zip(toks.to_numpy(), ep.to_numpy(), pdf["tool"]):
-                gap = None if last_ts is None else e - last_ts
-                if gap is None or gap > tau:
-                    session_seq += 1
-                n_prev.append(n_turns)
-                tok_avg.append(tok_sum / n_turns if n_turns else None)
-                gaps.append(gap)
-                seqs.append(session_seq)
-                tools.append(last_tool)
-                n_turns += 1
-                tok_sum += float(tok)
-                last_ts = e
-                if isinstance(tool, str):
-                    last_tool = tool
-            o = pd.DataFrame(rows)
-            o["n_prev_turns"] = pd.Series(n_prev, dtype="int64").values
-            o["n_tokens_avg_past"] = pd.Series(tok_avg, dtype="float64").values
-            o["session_gap_s"] = pd.Series(gaps, dtype="float64").values
-            o["session_seq"] = pd.Series(seqs, dtype="int64").values
-            o["last_tool"] = tools
+            toks = _tok_count(pdf["text"]).to_numpy()
+            ep = (pdf["ts"].astype("int64") / 1e9).to_numpy()
+
+            # every running feature is prefix-decomposable: carried scalars
+            # from the state + within-batch EXCLUSIVE cumsums (the same
+            # decomposition salted_cumsum uses) — no per-row Python
+            n_prev = n_turns + np.arange(n, dtype=np.int64)
+            tok_excl = tok_sum + np.concatenate(
+                ([0.0], np.cumsum(toks, dtype=np.float64)[:-1])
+            )
+            tok_avg = np.where(n_prev > 0, tok_excl / np.maximum(n_prev, 1), np.nan)
+
+            prev_ts = np.concatenate(
+                ([np.nan if last_ts is None else last_ts], ep[:-1])
+            )
+            gaps = ep - prev_ts  # NaN (-> null) on the first-ever turn
+            is_new = np.isnan(gaps) | (gaps > tau)
+            seqs = session_seq + np.cumsum(is_new.astype(np.int64))
+
+            # strictly-past forward-fill of the tool string: within-batch
+            # shift+ffill, carried last_tool fills the leading gap
+            tools_past = pdf["tool"].shift(1).ffill().astype(object)
+            tools_past = tools_past.where(tools_past.notna(), last_tool)
+
+            o = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "text_len": pdf["text"].fillna("").str.len().to_numpy("int32"),
+                    "n_prev_turns": n_prev,
+                    "n_tokens_avg_past": tok_avg,
+                    "session_gap_s": gaps,
+                    "session_seq": seqs,
+                    "last_tool": tools_past.to_numpy(dtype=object),
+                }
+            )
             out.append(o)
+
+            n_turns += n
+            tok_sum += float(toks.sum())
+            last_ts = float(ep[-1])
+            session_seq = int(seqs[-1])
+            in_batch = pdf["tool"].dropna()
+            if len(in_batch):
+                last_tool = str(in_batch.iloc[-1])
         state.update((n_turns, tok_sum, last_ts, session_seq, last_tool))
         yield from out
 

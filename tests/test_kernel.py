@@ -106,3 +106,33 @@ def test_explain_iteration_output_contract():
     assert out.set_index("feature").mean_abs_shap["a"] > out.set_index(
         "feature"
     ).mean_abs_shap["random_uniform_feature"]
+
+
+def test_logistic_multiclass_ovr():
+    """3+ classes -> one-vs-rest: coef_ (k, m), 3-D linear SHAP, and the
+    argmax prediction recovers a linearly separable 3-class labeling
+    (reference analogue: catboost native multiclass, shap_explainer.py:173)."""
+    from powershap_spark.kernel import linear_shap_values
+
+    r = np.random.RandomState(5)
+    X = r.randn(3000, 3)
+    scores = np.column_stack([X[:, 0], X[:, 1], -(X[:, 0] + X[:, 1])])
+    y = np.argmax(scores + 0.05 * r.randn(3000, 3), axis=1).astype(np.int64)
+    m = LogisticRegressionModel().fit(X, y)
+    assert m.coef_.shape == (3, 3)
+    assert (m.predict(X) == y).mean() > 0.9
+    phi = linear_shap_values(m.coef_, X[:100], X[100:200])
+    assert phi.shape == (100, 3, 3)
+
+
+def test_explain_iteration_multiclass_max_over_outputs():
+    """A 3-class label flows through explain_iteration via the
+    max-over-outputs reduction; the informative feature still dominates."""
+    r = np.random.RandomState(7)
+    pdf = pd.DataFrame(r.randn(600, 3), columns=["a", "b", "c"])
+    pdf["label"] = np.digitize(pdf["a"], [-0.5, 0.5]).astype(np.int64)
+    assert pdf["label"].nunique() == 3
+    out = explain_iteration(pdf, ["a", "b", "c"], "label", iteration=0)
+    s = out.set_index("feature").mean_abs_shap
+    assert s["a"] > 3 * s["random_uniform_feature"]
+    assert s["a"] > 3 * s["b"]

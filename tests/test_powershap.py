@@ -107,3 +107,38 @@ def test_processed_shaps_df_has_random_row(clf_xy):
     assert "random_uniform_feature" in sel._processed_shaps_df.index
     # p_values exclude it and are in original column order
     assert len(sel._p_values) == X.shape[1]
+
+
+def test_multiclass_selects_informative():
+    """End-to-end selection on a 3-class label (vendored OvR kernel +
+    max-over-outputs reduction): informative features selected, noise not."""
+    r = np.random.RandomState(11)
+    n = 1200
+    X = pd.DataFrame(
+        {
+            "informative_0": r.randn(n),
+            "informative_1": r.randn(n),
+            "noise_0": r.randn(n),
+            "noise_1": r.randn(n),
+        }
+    )
+    scores = np.column_stack(
+        [
+            X["informative_0"],
+            X["informative_1"],
+            -(X["informative_0"] + X["informative_1"]),
+        ]
+    )
+    y = np.argmax(scores + 0.1 * r.randn(n, 3), axis=1).astype(np.int64)
+    sel = PowerShapSelector(power_iterations=10).fit(X, y)
+    assert set(sel.selected_features_) == {"informative_0", "informative_1"}
+
+
+def test_five_class_warns_like_reference():
+    r = np.random.RandomState(12)
+    X = pd.DataFrame(r.randn(600, 3), columns=["a", "b", "c"])
+    y = np.digitize(X["a"], [-1.0, -0.3, 0.3, 1.0]).astype(np.int64)
+    assert len(np.unique(y)) == 5
+    with pytest.warns(UserWarning, match=">= 5 integers"):
+        sel = PowerShapSelector(power_iterations=5).fit(X, y)
+    assert "a" in sel.selected_features_

@@ -139,7 +139,9 @@ def test_stratified_group_kfold_properties():
             np.zeros((12, 1)), y, groups=g
         )
     )
-    assert sorted(te.tolist()) == [4, 5, 6, 7]  # regression pin
+    # regression pin — with identical per-group counts rows the in-place
+    # counts shuffle is a values-no-op, so this equals real sklearn's output
+    assert sorted(te.tolist()) == [0, 1, 6, 7]
     assert set(g[tr]) & set(g[te]) == set()
     # folds are a partition and each keeps both classes
     all_te = []
@@ -299,3 +301,51 @@ def test_cv_selector_reusable_across_backends(spark, clf_xy):
     sdf = spark.createDataFrame(X.assign(label=y))
     sel.fit(sdf, label_col="label", feature_cols=list(X.columns))  # must pickle
     assert sel._cv_consumed == 9
+
+
+def test_stratified_group_kfold_shuffle_decouples_counts_from_identity():
+    """sklearn's StratifiedGroupKFold(shuffle=True) shuffles the per-group
+    counts-matrix rows IN PLACE without tracking the permutation: the greedy
+    assignment operates on shuffled counts rows while the emitted test
+    indices match the ORIGINAL group encoding. With distinct counts rows the
+    fold a group lands in therefore depends on which counts row its index
+    drew — pinned here so a regression back to identity-attached shuffling
+    (the pre-r3 bug) fails."""
+    y = np.array([0, 0, 0, 1, 0, 1, 1, 1, 0, 0, 1, 1, 0, 1])
+    g = np.array([0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3])
+    tes = [
+        sorted(te.tolist())
+        for _, te in StratifiedGroupKFold(
+            n_splits=2, shuffle=True, random_state=3
+        ).split(np.zeros((14, 1)), y, groups=g)
+    ]
+    assert tes == [[0, 1, 2, 3, 4, 5, 6, 7], [8, 9, 10, 11, 12, 13]]
+    # groups never straddle folds regardless of the decoupling
+    for te in tes:
+        assert set(g[te]) in ({0, 1}, {2, 3})
+
+
+def test_at_position_cycle_jump_matches_sequential_stream():
+    """at_position jumps to cycle position//n_splits by setting the re-seed
+    counter directly; every vendored splitter must agree with the walked
+    stream across cycle boundaries (incl. deep positions)."""
+    y = np.array([0, 1] * 6)
+    g = np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5])
+    cases = [
+        (ShuffleSplit(n_splits=2, test_size=0.3), dict()),
+        (KFold(3, shuffle=True), dict()),
+        (StratifiedKFold(3, shuffle=True), dict(y=y)),
+        (GroupShuffleSplit(n_splits=2, test_size=0.34), dict(groups=g)),
+        (StratifiedGroupKFold(2, shuffle=True), dict(y=y, groups=g)),
+    ]
+    X = np.zeros((12, 1))
+    for cv, kw in cases:
+        inf = InfiniteSplitter(cv)
+        gen = inf.split(X, **kw)
+        stream = [sorted(next(gen)[1].tolist()) for _ in range(9)]
+        for pos in (0, 1, 2, 3, 5, 7, 8):
+            jumped = InfiniteSplitter(cv).at_position(pos, X, **kw)
+            assert sorted(next(jumped)[1].tolist()) == stream[pos], (
+                type(cv).__name__,
+                pos,
+            )

@@ -1,13 +1,20 @@
 """Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so the evidence is the SAME job on
-the SAME input at two parallelism levels — local[N] and local[4N] — in
-fresh JVMs, reporting throughput at both plus
-efficiency = T(N) / (4 * T(4N)).
+the SAME input at two parallelism levels in fresh JVMs, reporting throughput
+at both plus efficiency = T(N) / (4 * T(4N)). Two isolation models:
 
-Two measurements, each min-of-REPEAT (this host's wall-clock fluctuates
-2-4x between identical runs; the minimum is the standard noise-robust
-benchmark estimator):
+  thread cells (plain/salted/sel/nohot) — local[N] vs local[4N]: all
+      executor threads share one JVM heap and memory allocator;
+  process cells (lcplain/lcsalted/lcsel) — local-cluster[N/4,4,mem] vs
+      local-cluster[N,4,mem]: separate executor JVMs with separate heaps,
+      GC, and memory pools, 4 cores each — the closest single-box stand-in
+      for the north rule's N -> 4N *executors* (what spark-submit would
+      scale on a real cluster).
+
+Each cell is min-of-REPEAT (this host's wall-clock fluctuates 2-5x between
+identical runs; the minimum is the standard noise-robust estimator), with
+rounds INTERLEAVED across cells because load drifts on a multi-minute scale.
 
   full      — transcript parquet -> windowed features -> as-of join ->
               10-iteration powershap selection (tools/profile_pipeline.py)
@@ -17,7 +24,9 @@ benchmark estimator):
               iteration count, the matrix is built once)
 
 Writes BENCH/BASELINE.md. Usage:
-  python tools/bench_scaling.py [N] [sf] [repeat]
+  python tools/bench_scaling.py [N] [sf] [repeat] [cells]
+  cells: comma list among plain,salted,sel,nohot,lcplain,lcsalted,lcsel
+         (default: plain,salted,sel,lcplain,lcsalted,lcsel)
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LC_EXEC_MEM_MB = 8192  # per 4-core executor JVM
 
 SEL_CHILD = r"""
 import json, os, sys, time
@@ -39,7 +49,12 @@ from powershap_spark.session import get_spark
 from powershap_spark.pipeline import turn_features, point_in_time_matrix, FEATURE_COLS
 from powershap_spark.engine import SparkExplainBackend
 from pyspark.sql import functions as F
-spark = get_spark(app_name=f"sel{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+master = os.environ.get("BENCH_MASTER", f"local[{cpus}]")
+extra = {}
+if master.startswith("local-cluster"):
+    extra = {"spark.executorEnv.PYTHONPATH": os.path.abspath(".")}
+spark = get_spark(app_name=f"sel{cpus}", master=master,
+                  shuffle_partitions=cpus, extra_conf=extra)
 t = spark.read.parquet(f"/tmp/bench_input_sf{sf}/transcripts")
 p = spark.read.parquet(f"/tmp/bench_input_sf{sf}/probes")
 mat = point_in_time_matrix(turn_features(t, skew_safe=False), p, skew_safe=False) \
@@ -54,31 +69,63 @@ print("RESULT " + json.dumps({"cpus": cpus, "rows": n, "sec": round(d, 2),
 """
 
 
-def _run(cmd, env_extra):
+def _run(cmd, env_extra, attempts: int = 2):
     env = dict(os.environ, **env_extra)
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=ROOT, timeout=900
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT ") :])
-    raise RuntimeError(f"no RESULT (rc={out.returncode}):\n{out.stderr[-1500:]}")
-
-
-def full_run(mode):
-    def run(cpus, sf):
-        return _run(
-            [sys.executable, "tools/profile_pipeline.py", str(cpus), str(sf), mode],
-            {"SPARK_DRIVER_MEM": "48g"},
+    last = None
+    for _ in range(attempts):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=ROOT, timeout=1800
         )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT ") :])
+        # local-cluster startups are occasionally flaky when a previous
+        # JVM's teardown overlaps; one retry, never a silent skip
+        last = f"no RESULT (rc={out.returncode}):\n{out.stderr[-1500:]}"
+        print(f"retrying after failure: {cmd}", flush=True)
+    raise RuntimeError(last)
+
+
+def _lc_master(cpus: int) -> str:
+    workers = max(1, cpus // 4)
+    return f"local-cluster[{workers},4,{LC_EXEC_MEM_MB}]"
+
+
+def _cell_env(spec, cpus, sf):
+    env = {"SPARK_DRIVER_MEM": "48g"}
+    env.update(spec.get("env", {}))
+    if spec.get("lc"):
+        env["BENCH_MASTER"] = _lc_master(cpus)
+    return env
+
+
+def make_runner(spec):
+    if spec["run"] == "sel":
+        def run(cpus, sf):
+            env = _cell_env(spec, cpus, sf)
+            env.update({"SPARK_GRAFT_CPUS": str(cpus), "BENCH_SF": str(sf)})
+            return _run([sys.executable, "-c", SEL_CHILD], env)
+    else:
+        def run(cpus, sf):
+            return _run(
+                [sys.executable, "tools/profile_pipeline.py", str(cpus), str(sf),
+                 spec["mode"]],
+                _cell_env(spec, cpus, sf),
+            )
     return run
 
 
-def sel_run(cpus, sf):
-    return _run(
-        [sys.executable, "-c", SEL_CHILD],
-        {"SPARK_DRIVER_MEM": "48g", "SPARK_GRAFT_CPUS": str(cpus), "BENCH_SF": str(sf)},
-    )
+CELLS = {
+    "plain": {"run": "full", "mode": "plain"},
+    "salted": {"run": "full", "mode": "salted"},
+    "sel": {"run": "sel"},
+    "nohot": {"run": "full", "mode": "plain", "env": {"BENCH_HOT_FRAC": "0.002"}},
+    "lcplain": {"run": "full", "mode": "plain", "lc": True},
+    "lcsalted": {"run": "full", "mode": "salted", "lc": True},
+    "lcsel": {"run": "sel", "lc": True},
+}
+
+DEFAULT_CELLS = "plain,salted,sel,lcplain,lcsalted,lcsel"
 
 
 def _raw_path(kind, cpus):
@@ -98,24 +145,150 @@ def _append(kind, cpus, rec):
 
 def _best(kind, cpus):
     runs = _load(kind, cpus)
+    if not runs:
+        return None
     best = dict(min(runs, key=lambda r: r["sec"]))
     best["all_secs"] = [r["sec"] for r in runs]
     return best
+
+
+def _cpu(kind, cpus):
+    vals = [r.get("cpu_us_per_turn") for r in _load(kind, cpus)]
+    vals = [v for v in vals if v]
+    return min(vals) if vals else None
+
+
+LABELS = {
+    "plain": "plain windows (threads)",
+    "salted": "salted skew-safe (threads)",
+    "sel": "selection, 128-part grid (threads)",
+    "nohot": "plain, NO hot conversation (threads)",
+    "lcplain": "plain windows (process-isolated executors)",
+    "lcsalted": "salted skew-safe (process-isolated executors)",
+    "lcsel": "selection, 128-part grid (process-isolated executors)",
+}
+
+
+def write_report(n, sf, repeat):
+    rows, effs = [], {}
+    for kind in CELLS:
+        s, l = _best(kind, n), _best(kind, 4 * n)
+        if not (s and l):
+            continue
+        eff = s["sec"] / (4 * l["sec"])
+        effs[kind] = round(eff, 3)
+        parallel_s = (
+            _lc_master(n) if CELLS[kind].get("lc") else f"local[{n}]"
+        )
+        parallel_l = (
+            _lc_master(4 * n) if CELLS[kind].get("lc") else f"local[{4*n}]"
+        )
+        tp_key = "turns_per_sec" if "turns_per_sec" in s else "row_iters_per_sec"
+        rows.append(
+            f"| {LABELS[kind]} | {parallel_s} | {s['sec']} | {s.get(tp_key)} |"
+            f" {s.get('cpu_us_per_turn', '—')} | {s['all_secs']} |"
+        )
+        rows.append(
+            f"| {LABELS[kind]} | {parallel_l} | {l['sec']} | {l.get(tp_key)} |"
+            f" {l.get('cpu_us_per_turn', '—')} | {l['all_secs']} |"
+        )
+        rows.append(
+            f"| | | | | **efficiency = {s['sec']}/(4 x {l['sec']}) = {eff:.3f}** | |"
+        )
+
+    any_full = _best("plain", n) or _best("lcplain", n)
+    n_turns = any_full.get("n_turns", "n/a") if any_full else "n/a"
+    lines = [
+        "# BENCH baseline — scaling-efficiency evidence",
+        "",
+        "North rule: >=0.8 throughput scaling efficiency from N to 4N",
+        "executors. No multi-executor cluster exists in this sandbox; the",
+        f"evidence is the same job, same input (sf={sf}, {n_turns} turns,",
+        "one hot conversation with ~10% of rows unless noted), at two",
+        "parallelism levels in fresh JVMs, min of up to",
+        f"{repeat} interleaved runs (this host's wall-clock fluctuates 2-5x",
+        "between identical runs; all raw timings listed).",
+        "",
+        "Two isolation models per workload:",
+        "",
+        "- **threads**: local[N] vs local[4N] — one JVM, shared heap/allocator;",
+        "  thread counts scale but memory channels do not.",
+        "- **process-isolated executors**: local-cluster[N/4,4,"
+        f"{LC_EXEC_MEM_MB}] vs local-cluster[N,4,{LC_EXEC_MEM_MB}] —",
+        "  separate executor JVMs (own heap, GC, memory pools), 4 cores each;",
+        "  this is what `spark-submit` scales on a real cluster, minus the",
+        "  fact that all executors still share one machine's DRAM channels.",
+        "",
+        "Full pipeline = parquet scan -> strictly-past windowed features ->",
+        "sort-merge as-of join -> 10-iteration partition-parallel powershap.",
+        "Selection = 40 powershap iterations on the cached 128-part grid",
+        "(the phase that dominates automatic-mode runs at scale).",
+        "",
+        "| cell | parallelism | wall (s) | rows/sec | CPU us/turn | raw runs (s) |",
+        "|---|---|---|---|---|---|",
+        *rows,
+        "",
+        "## Efficiency summary",
+        "",
+        "| cell | efficiency N -> 4N |",
+        "|---|---|",
+        *[f"| {LABELS[k]} | {v} |" for k, v in effs.items()],
+        "",
+        "## CPU-per-row analysis (contention-robust companion metric)",
+        "",
+        "Best-case CPU microseconds per turn (driver + executor JVMs +",
+        "python workers, /proc subtree, measured over the timed section):",
+        "",
+        "| cell | N cores | 4N cores | inflation |",
+        "|---|---|---|---|",
+    ]
+    for kind in CELLS:
+        c8, c32 = _cpu(kind, n), _cpu(kind, 4 * n)
+        if c8 and c32:
+            lines.append(f"| {LABELS[kind]} | {c8} | {c32} | {c32/c8:.2f}x |")
+    lines += [
+        "",
+        "CPU burned per row grows from N to 4N cores on this single box:",
+        "the window/shuffle stages are memory-bandwidth-bound, so the extra",
+        "threads stall on the same DRAM channels (utime counts those stall",
+        "cycles). That inflation is a SINGLE-NODE artifact: a real N -> 4N",
+        "deployment adds nodes (each with its own memory channels), where",
+        "per-row CPU stays at the N-core figure — the wall-clock efficiency",
+        "measured here is therefore a lower bound on cluster scaling for",
+        "the window phases. The process-isolated cells remove the shared-JVM",
+        "component (heap, GC, allocator) from that bound.",
+        "",
+        "## Notes",
+        "",
+        '- Skew policy: `skew_safe="auto"` — per-conversation windows',
+        "  while no conversation exceeds the per-task bound, halo-chunked /",
+        "  two-phase operators beyond it (correctness of the salted path is",
+        "  test-asserted identical).",
+        "- The plain cells' efficiency is bounded by the planted hot",
+        "  conversation (10% of ALL rows in one window partition): Amdahl on",
+        "  the straggler task, by design of the skew fixture.",
+        "- Shuffle dirs on tmpfs (/dev/shm); cluster deployments use NVMe",
+        "  local dirs or a remote shuffle service.",
+        "- The window exchange carries int32-only feature scalars (see",
+        "  pipeline.turn_features) — the round-3 shuffle-byte cut.",
+    ]
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({f"{k}_eff": v for k, v in effs.items()}))
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    kinds = (sys.argv[4] if len(sys.argv) > 4 else DEFAULT_CELLS).split(",")
 
-    cells = [
-        ("plain", n, full_run("plain")),
-        ("plain", 4 * n, full_run("plain")),
-        ("salted", n, full_run("salted")),
-        ("salted", 4 * n, full_run("salted")),
-        ("sel", n, sel_run),
-        ("sel", 4 * n, sel_run),
-    ]
+    cells = []
+    for kind in kinds:
+        spec = CELLS[kind]
+        cells.append((kind, n, make_runner(spec)))
+        cells.append((kind, 4 * n, make_runner(spec)))
+
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     # INTERLEAVE rounds across cells: this host's load drifts on a multi-
     # minute scale (measured 5x between back-to-back identical runs), so
@@ -126,133 +299,7 @@ def main():
             if len(_load(kind, cpus)) <= r:
                 _append(kind, cpus, fn(cpus, sf))
                 print(f"round {r}: {kind}@{cpus} done", flush=True)
-
-    fs, fl = _best("plain", n), _best("plain", 4 * n)
-    gs, gl = _best("salted", n), _best("salted", 4 * n)
-    ss, sl = _best("sel", n), _best("sel", 4 * n)
-    f_eff = fs["sec"] / (4 * fl["sec"])
-    g_eff = gs["sec"] / (4 * gl["sec"])
-    s_eff = ss["sec"] / (4 * sl["sec"])
-
-    lines = [
-        "# BENCH baseline — scaling-efficiency evidence",
-        "",
-        "North rule: >=0.8 throughput scaling efficiency from N to 4N",
-        "executors. No multi-executor cluster exists in this sandbox; the",
-        f"evidence is the same job, same input (sf={sf}, "
-        f"{fs.get('n_turns', 'n/a')} turns, one hot conversation with ~10% of",
-        "rows), at local[N] vs local[4N] in fresh JVMs, min of "
-        f"{repeat} runs (this host's wall-clock fluctuates 2-4x between",
-        "identical runs; all raw timings listed).",
-        "",
-        "## Full pipeline (parquet scan -> strictly-past windowed features ->",
-        "sort-merge as-of join -> 10-iteration partition-parallel powershap)",
-        "",
-        "| mode | parallelism | wall (s) | turns/sec | CPU us/turn | raw runs (s) |",
-        "|---|---|---|---|---|---|",
-        f"| plain windows | local[{n}] | {fs['sec']} | {fs['turns_per_sec']} | {fs.get('cpu_us_per_turn', 'n/a')} | {fs['all_secs']} |",
-        f"| plain windows | local[{4*n}] | {fl['sec']} | {fl['turns_per_sec']} | {fl.get('cpu_us_per_turn', 'n/a')} | {fl['all_secs']} |",
-        f"| salted (skew-safe) | local[{n}] | {gs['sec']} | {gs['turns_per_sec']} | {gs.get('cpu_us_per_turn', 'n/a')} | {gs['all_secs']} |",
-        f"| salted (skew-safe) | local[{4*n}] | {gl['sec']} | {gl['turns_per_sec']} | {gl.get('cpu_us_per_turn', 'n/a')} | {gl['all_secs']} |",
-        "",
-        f"**plain efficiency = {fs['sec']}/(4 x {fl['sec']}) = {f_eff:.3f}** —",
-        "bounded by the mandated hot conversation (10% of ALL rows in one",
-        "window task): plain mode's speedup is capped by that straggler.",
-        "",
-        f"**salted efficiency = {gs['sec']}/(4 x {gl['sec']}) = {g_eff:.3f}** —",
-        "no straggler (bounded task sizes), scaling limited by stage-barrier",
-        "constants that a larger input amortizes; the crossover where salted",
-        "beats plain in absolute wall sits just above sandbox scale (at",
-        "local[32] they are already within ~20%).",
-        "",
-        "## Selection phase (40 powershap iterations, 128-way partition",
-        "grid over the point-in-time matrix — the phase that dominates",
-        "automatic-mode runs at scale)",
-        "",
-        "| parallelism | wall (s) | probe-row-iterations/sec | raw runs (s) |",
-        "|---|---|---|---|",
-        f"| local[{n}] | {ss['sec']} | {ss['row_iters_per_sec']} | {ss['all_secs']} |",
-        f"| local[{4*n}] | {sl['sec']} | {sl['row_iters_per_sec']} | {sl['all_secs']} |",
-        "",
-        f"**efficiency = {ss['sec']}/(4 x {sl['sec']}) = {s_eff:.3f}**",
-        "",
-    ]
-
-    # optional control cells: the same plain pipeline WITHOUT the planted
-    # hot conversation (BENCH_HOT_FRAC~0) — separates the fixture's Amdahl
-    # straggler from single-box memory-bandwidth limits
-    if _load("nohot", n) and _load("nohot", 4 * n):
-        hs, hl = _best("nohot", n), _best("nohot", 4 * n)
-        h_eff = hs["sec"] / (4 * hl["sec"])
-        lines += [
-            "## Control: plain windows WITHOUT the planted hot conversation",
-            "(BENCH_HOT_FRAC=0.002 — isolates the skew fixture's Amdahl",
-            "straggler from single-box limits)",
-            "",
-            "| parallelism | wall (s) | turns/sec | CPU us/turn | raw runs (s) |",
-            "|---|---|---|---|---|",
-            f"| local[{n}] | {hs['sec']} | {hs['turns_per_sec']} | {hs.get('cpu_us_per_turn', 'n/a')} | {hs['all_secs']} |",
-            f"| local[{4*n}] | {hl['sec']} | {hl['turns_per_sec']} | {hl.get('cpu_us_per_turn', 'n/a')} | {hl['all_secs']} |",
-            "",
-            f"**no-straggler efficiency = {hs['sec']}/(4 x {hl['sec']}) = {h_eff:.3f}**",
-            "",
-        ]
-
-    def _cpu(kind, cpus):
-        vals = [r.get("cpu_us_per_turn") for r in _load(kind, cpus)]
-        vals = [v for v in vals if v]
-        return min(vals) if vals else None
-
-    cpu8, cpu32 = _cpu("plain", n), _cpu("plain", 4 * n)
-    scpu8, scpu32 = _cpu("salted", n), _cpu("salted", 4 * n)
-    lines += [
-        "## CPU-per-row analysis (contention-robust companion metric)",
-        "",
-        "Best-case CPU microseconds per turn (driver + JVM + python workers,",
-        "/proc subtree, measured over the timed section only):",
-        "",
-        "| mode | local[8] | local[32] | inflation |",
-        "|---|---|---|---|",
-    ]
-    if cpu8 and cpu32:
-        lines.append(f"| plain | {cpu8} | {cpu32} | {cpu32/cpu8:.2f}x |")
-    if scpu8 and scpu32:
-        lines.append(f"| salted | {scpu8} | {scpu32} | {scpu32/scpu8:.2f}x |")
-    lines += [
-        "",
-        "CPU burned per row grows materially from 8 to 32 threads on this",
-        "single box: the window/shuffle stages are memory-bandwidth-bound,",
-        "so threads 9-32 stall on the same DRAM channels (utime counts those",
-        "stall cycles). That inflation is a SINGLE-NODE artifact: the real",
-        "N -> 4N deployment adds nodes (each with its own memory channels),",
-        "where per-row CPU stays at the local[8] figure — the wall-clock",
-        "efficiency measured here is therefore a lower bound on cluster",
-        "scaling for the window phases. The selection phase (Arrow batches +",
-        "numpy fits, compute-bound) already reaches its efficiency without",
-        "that caveat.",
-        "",
-        "## Notes",
-        "",
-        '- Skew policy: `skew_safe="auto"` — per-conversation windows',
-        "  while no conversation exceeds the per-task bound, halo-chunked /",
-        "  two-phase operators beyond it (correctness of the salted path is",
-        "  test-asserted identical; its crossover lies above sandbox scale).",
-        "- The full pipeline's efficiency is bounded by the planted hot",
-        "  conversation (10% of ALL rows in one window partition): Amdahl on",
-        "  the straggler task, by design of the skew fixture.",
-        "- Shuffle dirs on tmpfs (/dev/shm): local-mode shuffle on the",
-        "  sandbox's virtualized disk adds multi-x noise; cluster deployments",
-        "  use NVMe local dirs or a remote shuffle service.",
-    ]
-    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(
-        json.dumps(
-            {"plain_eff": round(f_eff, 3), "salted_eff": round(g_eff, 3),
-             "sel_eff": round(s_eff, 3)}
-        )
-    )
+        write_report(n, sf, repeat)  # incremental: report survives a kill
 
 
 if __name__ == "__main__":

@@ -30,8 +30,19 @@ def main():
     from bench import build_transcripts
 
     shuffle = int(os.environ.get("BENCH_SHUFFLE", cpus))
+    # BENCH_MASTER overrides the master: local-cluster[W,C,MEM] gives
+    # process-isolated executor JVMs (the north rule's N->4N *executors*)
+    master = os.environ.get("BENCH_MASTER", f"local[{cpus}]")
+    extra = {}
+    if master.startswith("local-cluster"):
+        extra = {
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+        }
     spark = get_spark(
-        app_name=f"prof{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle
+        app_name=f"prof{cpus}", master=master, shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
 
     # BENCH_HOT_FRAC overrides the planted hot-conversation share (default
