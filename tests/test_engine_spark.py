@@ -103,3 +103,47 @@ def test_transform_spark_dataframe(spark, clf_xy):
     )
     out = sel.transform(sdf)
     assert set(out.columns) == set(sel.selected_features_)
+
+
+def test_keyed_and_positional_modes_select_same_features(spark):
+    """The bench runs probe_mode='keyed' (order-independent counter RNG)
+    while the oracle-checked selection uses positional parity probes. The
+    two probe STREAMS differ, but on the flagship transcript fixture they
+    must select the same feature set — otherwise the benched configuration
+    isn't evidencing the oracle-checked one (VERDICT r2 'Next round' #7)."""
+    from powershap_spark import synth
+    from powershap_spark.pipeline import select_features
+
+    t = synth.transcripts(spark, n_conv=120, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.3, task="classification")
+    kw = dict(power_iterations=8, n_parts=2, part_by="conv_id", skew_safe=False)
+    sel_pos, _ = select_features(t, p, probe_mode="positional", **kw)
+    sel_key, _ = select_features(t, p, probe_mode="keyed", **kw)
+    assert set(sel_pos.selected_features_) == set(sel_key.selected_features_)
+    assert len(sel_pos.selected_features_) > 0
+
+
+def test_spark_resume_identical_with_cv(spark, clf_xy, tmp_path):
+    """Checkpoint resume WITH a cv splitter: the selector-global split
+    stream positions must replay identically across the restart (the resume
+    path previously only covered the default train_test_split cascade)."""
+    from powershap_spark.splitters import KFold
+
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    kw = dict(sort_cols=["row_id"])
+    full = PowerShapSelector(power_iterations=6, cv=KFold(3), **kw).fit(
+        sdf, label_col="label", feature_cols=list(X.columns)
+    )
+    PowerShapSelector(
+        power_iterations=3, cv=KFold(3), checkpoint_dir=str(tmp_path),
+        run_id="rcv", **kw
+    ).fit(sdf, label_col="label", feature_cols=list(X.columns))
+    resumed = PowerShapSelector(
+        power_iterations=6, cv=KFold(3), checkpoint_dir=str(tmp_path),
+        run_id="rcv", **kw
+    ).fit(sdf, label_col="label", feature_cols=list(X.columns))
+    a = full._processed_shaps_df.sort_index()
+    b = resumed._processed_shaps_df.sort_index()
+    assert list(a.index) == list(b.index)
+    assert (a.values == b.values).all()  # byte-identity, not allclose

@@ -47,3 +47,31 @@ def test_oracle_spot(spark, name):
 
     a, b = norm(sdf), norm(odf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_selection_iterations_fixture_is_deterministic(spark):
+    """The powershap_selection value oracle hinges on the live engine
+    regenerating tests/fixtures/selection_iterations.parquet bit-for-bit
+    (deterministic probe seeds, sklearn-exact splits, vendored numpy
+    models). Regenerate and compare values exactly — if this drifts, rerun
+    tools/make_fixtures.py and investigate what changed in the kernel."""
+    import os
+
+    import numpy as np
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "selection_iterations.parquet")
+    committed = pd.read_parquet(fix)
+    live = (
+        em._selection_iterations(spark)
+        .orderBy("iteration", "part_id", "feature")
+        .toPandas()
+    )
+    assert list(live.columns) == list(committed.columns)
+    assert len(live) == len(committed)
+    for c in ("iteration", "part_id", "feature", "n_val_rows"):
+        assert (live[c].values == committed[c].values).all(), c
+    # bit-exact float32 partials — the model-fit outputs themselves
+    assert (
+        live["mean_abs_shap"].values.view("uint32")
+        == committed["mean_abs_shap"].values.view("uint32")
+    ).all()

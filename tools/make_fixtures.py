@@ -23,6 +23,9 @@ FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 TRANSCRIPTS = os.path.abspath(os.path.join(FIXTURE_DIR, "transcripts_small.parquet"))
 PROBES = os.path.abspath(os.path.join(FIXTURE_DIR, "probes_small.parquet"))
 MEDIA = os.path.abspath(os.path.join(FIXTURE_DIR, "media_small.parquet"))
+SELECTION = os.path.abspath(
+    os.path.join(FIXTURE_DIR, "selection_iterations.parquet")
+)
 
 N_CONV, MEAN_TURNS, PROBE_FRAC = 60, 15, 0.25
 N_MEDIA = 100
@@ -61,9 +64,23 @@ def main():
     )
     mp = media.orderBy("doc_id").toPandas()
     pq.write_table(pa.Table.from_pandas(mp, preserve_index=False), MEDIA, **kw)
+
+    # the flagship selection loop's LONG iterations table (per-partition
+    # checkpointed partials): the DuckDB side of the powershap_selection
+    # value oracle reads this committed copy; the live Spark query
+    # regenerates the identical table (deterministic seeds, vendored numpy
+    # models) and aggregates it distributively. Pinned by tests/test_entry.py
+    import __spark_entry__ as entry
+
+    sp = (
+        entry._selection_iterations(spark)
+        .orderBy("iteration", "part_id", "feature")
+        .toPandas()
+    )
+    pq.write_table(pa.Table.from_pandas(sp, preserve_index=False), SELECTION, **kw)
     print(
         f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows), "
-        f"{MEDIA} ({len(mp)} rows)"
+        f"{MEDIA} ({len(mp)} rows), {SELECTION} ({len(sp)} rows)"
     )
 
 
