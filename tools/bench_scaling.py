@@ -37,7 +37,10 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LC_EXEC_MEM_MB = 8192  # per 4-core executor JVM
+# per 4-core executor JVM: 12G fits the sf1 salted window build (8G hit
+# heap OOM, exit 52); the 4N cell is 8 x 12G = 96G + a 16G driver, inside
+# the 128G host with headroom for python workers
+LC_EXEC_MEM_MB = 12288
 
 SEL_CHILD = r"""
 import json, os, sys, time
@@ -96,6 +99,9 @@ def _cell_env(spec, cpus, sf):
     env.update(spec.get("env", {}))
     if spec.get("lc"):
         env["BENCH_MASTER"] = _lc_master(cpus)
+        # all compute lives in the executor JVMs; a fat driver heap would
+        # push the 8 x 12G 4N cell past host memory
+        env["SPARK_DRIVER_MEM"] = "16g"
     return env
 
 
