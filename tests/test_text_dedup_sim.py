@@ -320,3 +320,51 @@ def test_feature_matrix_numeric_object_column_preserved():
     m = _feature_matrix(pdf, ["a", "b"])
     assert list(m[:, 0]) == [3.7, 120.5, 3.7]  # numeric values kept
     assert m[0, 1] == m[2, 1] and m[0, 1] != m[1, 1]  # ordinal codes
+
+
+def test_hashed_shingles_equivalent_to_string_shingles(spark, docs):
+    """The integer hashed-shingle path (the xxhash scale formulation) must
+    produce the same shingle-SET structure as string shingling: same count
+    per doc, exact-dup docs get identical hash sets, and the minhash
+    Jaccard estimate over hashed shingles matches the string-shingle one."""
+    from powershap_spark.operators.dedup import hashed_shingles
+
+    a = docs.select(
+        "doc_id",
+        F.size(shingles("text", 2)).alias("n_str"),
+        F.size(hashed_shingles("text", 2)).alias("n_hash"),
+        F.array_sort(hashed_shingles("text", 2)).alias("hs"),
+    ).toPandas()
+    # counts agree doc-by-doc (no collisions at this scale)
+    assert (a.n_str == a.n_hash).all()
+    # docs 0 and 1 are exact duplicates -> identical hashed-shingle sets
+    h = {r.doc_id: tuple(r.hs) for r in a.itertuples()}
+    assert h[0] == h[1]
+    assert h[0] != h[4]
+
+    sig_h = docs.select(
+        "doc_id", minhash_signature(hashed_shingles("text", 2), 128).alias("minhash")
+    )
+    pairs_h = lsh_candidate_pairs(sig_h, bands=32, num_hashes=128).toPandas()
+    row01 = pairs_h[(pairs_h.id_a == 0) & (pairs_h.id_b == 1)]
+    assert len(row01) == 1 and row01.est_jaccard.iloc[0] == 1.0
+    row03 = pairs_h[(pairs_h.id_a == 0) & (pairs_h.id_b == 3)]
+    if len(row03):
+        assert 0.4 < row03.est_jaccard.iloc[0] < 1.0
+
+
+def test_hashed_shingles_short_and_empty_docs(spark):
+    """Docs shorter than n tokens fall back to one whole-text shingle;
+    empty text yields a single shingle, never an empty array (an empty
+    signature would make every short doc an LSH bucket-mate)."""
+    import pandas as pd
+
+    from powershap_spark.operators.dedup import hashed_shingles
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["one two", "one", ""]})
+    )
+    out = d.select(
+        "doc_id", F.size(hashed_shingles("text", 3)).alias("n")
+    ).toPandas()
+    assert (out.n == 1).all()
