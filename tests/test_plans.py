@@ -131,3 +131,36 @@ def test_simhash_plan_single_projection(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(d.select("doc_id", simhash("text").alias("h")))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_turn_features_exchange_carries_only_narrow_ints(spark):
+    """The round-3 shuffle-byte cut, plan-asserted: the per-conversation
+    window exchange in turn_features carries only int32 text scalars plus a
+    1-byte has_tool flag — no tool string, no upper_ratio, no pre-computed
+    double ratios (avg_token_len is reconstructed post-shuffle)."""
+    import os
+
+    from powershap_spark.pipeline import turn_features
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    t = spark.read.parquet(f"{fix}/transcripts_small.parquet")
+    p = _plan(turn_features(t, skew_safe=False))
+
+    # the Exchange node's input column list (formatted explain: the node
+    # header "(N) Exchange" is followed by Input then Arguments lines)
+    lines = p.splitlines()
+    ex = next(
+        i
+        for i, ln in enumerate(lines)
+        if ln.strip().endswith("Exchange")
+        and "hashpartitioning(conv_id" in lines[i + 2]
+    )
+    inp = lines[ex + 1]
+    assert inp.lstrip().startswith("Input"), inp
+    for col in ("text_len", "n_tokens", "n_nonspace", "n_punct", "has_tool"):
+        assert col in inp, f"{col} missing from exchange input: {inp}"
+    # narrowed/dropped columns must not cross the exchange
+    assert "tool#" not in inp.replace("has_tool#", "")
+    assert "upper_ratio" not in inp
+    assert "avg_token_len" not in inp
+    assert "text#" not in inp  # raw text never reaches the window shuffle
