@@ -147,3 +147,23 @@ def test_spark_resume_identical_with_cv(spark, clf_xy, tmp_path):
     b = resumed._processed_shaps_df.sort_index()
     assert list(a.index) == list(b.index)
     assert (a.values == b.values).all()  # byte-identity, not allclose
+
+
+def test_cv_block_failure_raises_actionable_error(spark, clf_xy):
+    """A group-requiring cv whose requirements a partition block cannot meet
+    must surface an actionable error naming n_parts/part_by, not a bare
+    executor traceback."""
+    from powershap_spark.splitters import GroupKFold
+
+    X, y = clf_xy
+    pdf = pd.concat([X] * 10, ignore_index=True)
+    pdf["label"] = np.tile(np.asarray(y), 10)
+    pdf["row_id"] = np.arange(len(pdf), dtype=np.int64)
+    pdf["grp"] = np.arange(len(pdf)) % 4  # only 4 groups anywhere
+    sdf = spark.createDataFrame(pdf)
+    sel = PowerShapSelector(
+        power_iterations=2, cv=GroupKFold(5), n_parts=2, part_by="row_id",
+        sort_cols=["row_id"],
+    )
+    with pytest.raises(Exception, match="reduce n_parts|part_by"):
+        sel.fit(sdf, label_col="label", feature_cols=list(X.columns), group_col="grp")
