@@ -57,7 +57,8 @@ extra = {}
 if master.startswith("local-cluster"):
     extra = {"spark.executorEnv.PYTHONPATH": os.path.abspath(".")}
 spark = get_spark(app_name=f"sel{cpus}", master=master,
-                  shuffle_partitions=cpus, extra_conf=extra)
+                  shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", cpus)),
+                  extra_conf=extra)
 t = spark.read.parquet(f"/tmp/bench_input_sf{sf}/transcripts")
 p = spark.read.parquet(f"/tmp/bench_input_sf{sf}/probes")
 mat = point_in_time_matrix(turn_features(t, skew_safe=False), p, skew_safe=False) \
@@ -102,6 +103,11 @@ def _cell_env(spec, cpus, sf):
         # all compute lives in the executor JVMs; a fat driver heap would
         # push the 8 x 12G 4N cell past host memory
         env["SPARK_DRIVER_MEM"] = "16g"
+        # FIXED shuffle partitioning at both parallelism levels — the way a
+        # real N->4N scale-up runs (same dataset partitioning, more slots).
+        # 128 also keeps per-task sort state inside the 12G executor heaps
+        # (8 partitions of sf1 in a 12G heap OOMed, exit 52).
+        env["BENCH_SHUFFLE"] = "128"
     return env
 
 
@@ -134,8 +140,12 @@ CELLS = {
 DEFAULT_CELLS = "plain,salted,sel,lcplain,lcsalted,lcsel"
 
 
+_SF = 1.0  # set by main(); raw files are namespaced per sf except sf=1.0
+
+
 def _raw_path(kind, cpus):
-    return os.path.join(ROOT, "BENCH", f"raw_{kind}_{cpus}.json")
+    sfx = "" if _SF == 1.0 else f"_sf{_SF:g}"
+    return os.path.join(ROOT, "BENCH", f"raw_{kind}{sfx}_{cpus}.json")
 
 
 def _load(kind, cpus):
@@ -278,16 +288,19 @@ def write_report(n, sf, repeat):
         "- The window exchange carries int32-only feature scalars (see",
         "  pipeline.turn_features) — the round-3 shuffle-byte cut.",
     ]
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    name = "BASELINE.md" if _SF == 1.0 else f"BASELINE_sf{_SF:g}.md"
+    with open(os.path.join(ROOT, "BENCH", name), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({f"{k}_eff": v for k, v in effs.items()}))
 
 
 def main():
+    global _SF
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     kinds = (sys.argv[4] if len(sys.argv) > 4 else DEFAULT_CELLS).split(",")
+    _SF = sf
 
     cells = []
     for kind in kinds:
