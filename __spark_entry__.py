@@ -256,6 +256,35 @@ def q_token_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_documents(spark, sf_dir):
+    """Transitive near-dup clustering: token-Jaccard candidate pairs
+    (lang-bucketed, exact — both engines compute identical edges) ->
+    distributed connected components (hash-min label propagation) ->
+    (doc_id, component) with component = min doc_id of the cluster;
+    isolated docs are their own component. DuckDB oracle recomputes the
+    same components with a recursive CTE."""
+    from powershap_spark.operators.dedup import connected_components
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = lambda c: F.array_distinct(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), toks(F.col("text")).alias("ta"), "lang")
+    b = d.select(F.col("doc_id").alias("id_b"), toks(F.col("text")).alias("tb"), "lang")
+    j = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    pairs = j.select("id_a", "id_b").where(inter / union >= 0.5)
+    comp = connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+        )
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from powershap_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -587,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "exact_dedup_documents": q_exact_dedup_documents,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "token_counts": q_token_counts,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
@@ -982,6 +1012,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        """,
+        "dedup_clusters_documents": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+              FROM documents WHERE doc_id < 300
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), walk(id, comp) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+            )
+            SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
         """,
         "token_counts": """
             SELECT doc_id,

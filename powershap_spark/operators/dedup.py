@@ -30,6 +30,8 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "dedup_by_components",
     "affine_params",
     "POLY_MOD",
     "BAND_MOD",
@@ -413,3 +415,99 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", jac.cast("double").alias("jaccard")
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a candidate-pair edge list:
+    returns (id, component) where component = the minimum node id reachable
+    from ``id`` (the canonical cluster representative).
+
+    Hash-min label propagation, pure DataFrame ops: each round every node
+    takes the min of its own label and its neighbors' labels (one
+    equi-join shuffle + one groupBy-min shuffle per round), converging in
+    O(component diameter) rounds. LSH/Jaccard candidate graphs are
+    star-like (bucket-mates all pair with each other), so diameters are
+    tiny — typically 2-4 rounds. ``localCheckpoint`` truncates the lineage
+    every round: without it the iterative plan grows exponentially and
+    round k replays rounds 0..k-1.
+
+    Scale shape: never materializes components on the driver; the only
+    per-round action is the convergence count. For graphs with genuinely
+    long chains raise ``max_iter`` (rounds, not data, are the cost)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (long chains) or check the pair generator"
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive near-dup removal: keep ONE representative (the min id)
+    per connected component of the candidate-pair graph. The principled
+    closure of pairwise dedup — greedy pair-dropping mishandles chains
+    (a~b, b~c, a!~c): it can drop both b and c leaving only a, or keep
+    inconsistent sets depending on pair orientation; components keep
+    exactly one doc per transitive duplicate group. Docs with no candidate
+    pair are their own component and always survive."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    keep = comp.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    dropped = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

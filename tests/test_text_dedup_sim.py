@@ -368,3 +368,68 @@ def test_hashed_shingles_short_and_empty_docs(spark):
         "doc_id", F.size(hashed_shingles("text", 3)).alias("n")
     ).toPandas()
     assert (out.n == 1).all()
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC labels == an independent python union-find on a random graph
+    (chains, stars, isolated-by-absence nodes)."""
+    import numpy as np
+
+    from powershap_spark.operators.dedup import connected_components
+
+    rng = np.random.RandomState(0)
+    n_nodes, n_edges = 200, 150
+    ea = rng.randint(0, n_nodes, n_edges)
+    eb = rng.randint(0, n_nodes, n_edges)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ea.astype("int64"), "id_b": eb.astype("int64")})
+    ).filter(F.col("id_a") != F.col("id_b"))
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        if a != b:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in zip(ea, eb):
+        if a != b:
+            for v in (int(a), int(b)):
+                expected[v] = min(expected.get(v, v), find(v))
+    # canonicalize: min node id per root
+    root_min = {}
+    for v in expected:
+        r = find(v)
+        root_min[r] = min(root_min.get(r, v), v)
+    expected = {v: root_min[find(v)] for v in expected}
+
+    got = {
+        r.id: r.comp
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_by_components_transitive_chain(spark):
+    """Chain a~b, b~c (a!~c): components keep exactly ONE of {a,b,c};
+    greedy pair-dropping would keep either two or zero depending on
+    orientation. Isolated docs always survive."""
+    from powershap_spark.operators.dedup import dedup_by_components
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12, 99], "text": ["a", "b", "c", "zzz"]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 11], "id_b": [11, 12]})
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_components(d, pairs, "doc_id").collect()
+    )
+    assert kept == [10, 99]
