@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_fake_media",
     "decode_image",
+    "decode_audio",
     "image_features",
+    "audio_features",
+    "resize_image",
+    "image_resize",
     "frame_sample",
 ]
 
@@ -87,6 +91,87 @@ def image_features(
             pdf = pdf.copy()
             pdf["mean_intensity"] = means
             pdf["std_intensity"] = stds
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def decode_audio(media: bytes, fake: bool = False, n_samples: int = 1024) -> np.ndarray:
+    """Decode binary -> float32 mono waveform in [-1, 1]. REAL decode
+    requires soundfile/ffmpeg, absent in this container ->
+    NotImplementedError. fake=True: deterministic hash-derived waveform."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this "
+            "environment); pass fake=True for the deterministic test decoder"
+        )
+    h = np.frombuffer(media, dtype=np.uint8)
+    rng = np.random.RandomState(int(h[:4].view(np.uint32)[0]) if len(h) >= 4 else 0)
+    return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media", fake: bool = True
+) -> DataFrame:
+    """Per-clip audio features via mapInPandas: RMS level + zero-crossing
+    rate over the decoded waveform. Vectorized numpy per batch; decode is
+    the stubbed step."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", rms double, zero_crossing_rate double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, zcr = [], []
+            for blob in pdf[media_col]:
+                w = decode_audio(bytes(blob), fake=fake)
+                rms.append(float(np.sqrt(np.mean(w * w))))
+                zcr.append(float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))))
+            pdf = pdf.copy()
+            pdf["rms"] = rms
+            pdf["zero_crossing_rate"] = zcr
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def resize_image(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — REAL (pure numpy index arithmetic, no
+    image library): works on any decoded HxWxC array, fake or real."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    cols = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def image_resize(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """Batch image resize via mapInPandas: decode (stubbed) ->
+    nearest-neighbor resize (real numpy) -> raw-RGB bytes out, with the
+    width/height metadata updated to the target shape. The Spark-side
+    plumbing — binary in/out, Arrow batching, metadata columns — is real
+    and what a libjpeg-backed decoder would plug into."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name not in ("width", "height")
+    ) + ", width int, height int, resized binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                img = decode_image(bytes(blob), fake=fake)
+                out.append(resize_image(img, target_w, target_h).tobytes())
+            pdf = pdf.drop(columns=[c for c in ("width", "height") if c in pdf])
+            pdf["width"] = np.int32(target_w)
+            pdf["height"] = np.int32(target_h)
+            pdf["resized"] = out
             yield pdf
 
     return df.mapInPandas(op, schema=out_schema)
