@@ -442,12 +442,17 @@ def _selection_iterations(spark):
     committed fixture copy regenerated by tools/make_fixtures.py and pinned
     by tests/test_entry.py."""
     import glob
-    import tempfile
+    import shutil
 
     from powershap_spark import synth
     from powershap_spark.pipeline import select_features
 
-    ck = tempfile.mkdtemp(prefix="powershap_sel_ck_")
+    # stable path, wiped at entry: the checkpoint files must outlive this
+    # function (the returned DataFrame reads them lazily), so a per-call
+    # mkdtemp would leak a directory per invocation across bench repeats —
+    # one fixed dir bounds the residue to a single run's worth
+    ck = "/tmp/powershap_sel_oracle_ck"
+    shutil.rmtree(ck, ignore_errors=True)
     t = synth.transcripts(spark, n_conv=300, mean_turns=15)
     p = synth.probes(spark, t, probe_frac=0.3)
     select_features(

@@ -161,6 +161,22 @@ class LogisticRegressionModel:
         X = np.asarray(X, dtype=np.float64)
         y_raw = np.asarray(y)
         self.classes_ = np.unique(y_raw)
+        if len(self.classes_) == 1:
+            # a degenerate block (e.g. one partition of a stratify-less
+            # n_parts split holding a single class) carries no
+            # discriminative signal: zero coefficients -> zero SHAP for
+            # every feature, a statistically neutral partial — never a
+            # garbage fit silently folded into the selection statistics
+            import warnings
+
+            warnings.warn(
+                "LogisticRegressionModel.fit received a single-class y; "
+                "returning a zero-coefficient (no-signal) model",
+                UserWarning,
+            )
+            self.coef_ = np.zeros(X.shape[1])
+            self.intercept_ = 0.0
+            return self
         if len(self.classes_) > 2:
             # one-vs-rest: k independent binary IRLS fits on the same
             # standardized design (reference parity: catboost multiclass ->
@@ -176,8 +192,13 @@ class LogisticRegressionModel:
             self.coef_ = np.vstack(ws)
             self.intercept_ = np.asarray(bs)
             return self
-        y = y_raw.astype(np.float64)
-        if len(self.classes_) == 2 and not set(np.unique(y)) <= {0.0, 1.0}:
+        # binary: map to {0,1} by class identity BEFORE any float cast so
+        # string/object labels work exactly like 3+-class OvR does
+        try:
+            y = y_raw.astype(np.float64)
+            if not set(np.unique(y)) <= {0.0, 1.0}:
+                y = (y_raw == self.classes_[1]).astype(np.float64)
+        except (ValueError, TypeError):
             y = (y_raw == self.classes_[1]).astype(np.float64)
         # standardize internally for conditioning; fold back at the end
         mu, sd = X.mean(axis=0), X.std(axis=0)
@@ -291,7 +312,11 @@ class _VendoredLinearKernel:
             is_regr = np.issubdtype(y.dtype, np.number) and not np.issubdtype(
                 y.dtype, np.integer
             )
-            if not is_regr and len(np.unique(y.ravel())) >= 5:
+            if (
+                not is_regr
+                and np.issubdtype(y.dtype, np.integer)
+                and len(np.unique(y.ravel())) >= 5
+            ):
                 # reference warns-but-classifies here (powershap.py:190-194)
                 import warnings
 

@@ -463,23 +463,22 @@ def connected_components(
             .agg(F.min("dst_comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
         )
+        # one update join per round; the convergence flag rides the same
+        # pass (a __chg column on the checkpointed result) instead of a
+        # third labels-join. Superseded checkpoint blocks are released by
+        # Spark's ContextCleaner once the old DataFrame reference drops.
+        nc = F.coalesce(F.col("nbr_comp"), F.col("comp"))
         new = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                F.least(F.col("comp"), nc).alias("comp"),
+                (nc < F.col("comp")).cast("long").alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new.select("id", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -504,9 +503,6 @@ def dedup_by_components(
     exactly one doc per transitive duplicate group. Docs with no candidate
     pair are their own component and always survive."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
-    keep = comp.filter(F.col("id") == F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
     dropped = comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

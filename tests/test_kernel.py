@@ -136,3 +136,42 @@ def test_explain_iteration_multiclass_max_over_outputs():
     s = out.set_index("feature").mean_abs_shap
     assert s["a"] > 3 * s["random_uniform_feature"]
     assert s["a"] > 3 * s["b"]
+
+
+def test_logistic_binary_string_labels():
+    """Binary string labels map via class identity, like OvR does — no
+    float-cast crash (review finding r3)."""
+    r = np.random.RandomState(9)
+    X = r.randn(400, 3)
+    y = np.where(X[:, 0] > 0, "pos", "neg")
+    m = LogisticRegressionModel().fit(X, y)
+    assert m.coef_.ndim == 1 and m.coef_[0] > 0  # classes_[1]=='pos'
+    assert (m.predict(X) == y).mean() > 0.95
+
+
+def test_logistic_single_class_is_neutral_not_garbage():
+    """A single-class block yields a zero-coefficient (zero-SHAP) model
+    with a warning — degenerate partition blocks contribute neutral
+    partials instead of silently folding a garbage fit."""
+    r = np.random.RandomState(10)
+    X = r.randn(50, 4)
+    with pytest.warns(UserWarning, match="single-class"):
+        m = LogisticRegressionModel().fit(X, np.ones(50))
+    assert (m.coef_ == 0).all()
+    assert (m.predict(X) == 1.0).all()
+
+
+def test_five_class_warning_gates_on_integer_dtype():
+    """The >=5-labels warning only fires for INTEGER labels (reference
+    powershap.py:190-194 gates on integer dtype); 5+ string categories
+    classify silently."""
+    import warnings as _w
+
+    from powershap_spark.kernel import _VendoredLinearKernel
+
+    r = np.random.RandomState(11)
+    X = r.randn(300, 3)
+    y = np.array([f"c{i % 5}" for i in range(300)])
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        _VendoredLinearKernel.fit_get_shap(X, y, X[:50], y[:50], random_seed=0)
