@@ -433,3 +433,16 @@ def test_dedup_by_components_transitive_chain(spark):
         r.doc_id for r in dedup_by_components(d, pairs, "doc_id").collect()
     )
     assert kept == [10, 99]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must raise the actionable
+    error, never silently return partial labels."""
+    from powershap_spark.operators.dedup import connected_components
+
+    chain = pd.DataFrame({"id_a": range(0, 9), "id_b": range(1, 10)})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark.createDataFrame(chain), max_iter=2)
+    # and converges fine with enough rounds
+    out = connected_components(spark.createDataFrame(chain), max_iter=15)
+    assert {r.comp for r in out.collect()} == {0}

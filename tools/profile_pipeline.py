@@ -40,6 +40,8 @@ def main():
                 os.path.dirname(os.path.abspath(__file__))
             )
         }
+    if os.environ.get("BENCH_CODEC"):
+        extra["spark.io.compression.codec"] = os.environ["BENCH_CODEC"]
     spark = get_spark(
         app_name=f"prof{cpus}", master=master, shuffle_partitions=shuffle,
         extra_conf=extra,
