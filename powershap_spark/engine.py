@@ -515,6 +515,7 @@ class PowerShapSelector:
         # Spark-specific
         n_parts: int = 1,
         part_by: str | None = None,
+        min_rows_per_part: int = 500,
         probe_mode: str = "positional",
         sort_cols: list[str] | None = None,
         checkpoint_dir: str | None = None,
@@ -548,6 +549,7 @@ class PowerShapSelector:
         self.verbose = verbose
         self.n_parts = n_parts
         self.part_by = part_by
+        self.min_rows_per_part = min_rows_per_part
         self.probe_mode = probe_mode
         self.sort_cols = sort_cols
         self.checkpoint_dir = checkpoint_dir
@@ -608,6 +610,7 @@ class PowerShapSelector:
                 label_col,
                 n_parts=self.n_parts,
                 part_by=self.part_by,
+                min_rows_per_part=self.min_rows_per_part,
                 val_size=self.val_size,
                 stratify_col=stratify_col,
                 group_col=group_col,

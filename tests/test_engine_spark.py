@@ -163,7 +163,7 @@ def test_cv_block_failure_raises_actionable_error(spark, clf_xy):
     sdf = spark.createDataFrame(pdf)
     sel = PowerShapSelector(
         power_iterations=2, cv=GroupKFold(5), n_parts=2, part_by="row_id",
-        sort_cols=["row_id"],
+        min_rows_per_part=100, sort_cols=["row_id"],
     )
     with pytest.raises(Exception, match="reduce n_parts|part_by"):
         sel.fit(sdf, label_col="label", feature_cols=list(X.columns), group_col="grp")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -38,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--n-parts", type=int, default=128)
     ap.add_argument("--output")
     ap.add_argument("--local", type=int, help="sandbox: local[N] master")
+    ap.add_argument(
+        "--master",
+        help="explicit master URL (e.g. local-cluster[8,4,12288] for "
+        "process-isolated executors); overrides --local",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,7 +53,17 @@ def main(argv=None):
     if args.local:
         from powershap_spark.session import get_spark
 
-        spark = get_spark(master=f"local[{args.local}]", shuffle_partitions=args.local)
+        master = args.master or (f"local[{args.local}]" if args.local else None)
+        extra = (
+            {"spark.executorEnv.PYTHONPATH": os.path.abspath(".")}
+            if master and master.startswith("local-cluster")
+            else None
+        )
+        spark = get_spark(
+            master=master,
+            shuffle_partitions=args.local or None,
+            extra_conf=extra,
+        )
     else:  # under spark-submit the session comes preconfigured
         spark = SparkSession.builder.getOrCreate()
 
