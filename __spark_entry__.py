@@ -336,6 +336,24 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_quantized_topk_embeddings(spark, sf_dir):
+    """int8-quantized brute-force cosine top-k (the 4x-smaller embedding
+    store): per-vector symmetric quantization with floor(x/scale + 0.5)
+    rounding chosen so the DuckDB oracle reproduces every quantized value
+    bit-exactly; cosine of the quantized vectors is an exact integer
+    dot/norm ratio on both engines."""
+    from powershap_spark.operators.similarity import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = quantized_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("qcosine", 4).alias("qcosine"), "rank"
+    )
+
+
 # --- engine-internal hash family swapped for the oracle-replicable "poly"
 # family in the checked queries (xxhash64 stays the default scale path and
 # is benched directly; see powershap_spark/operators/dedup.py) ---
@@ -627,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "embedding_topk": q_embedding_topk,
+        "quantized_topk_embeddings": q_quantized_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -1249,6 +1268,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(mean_v * n) / sum(n), 6) AS wmean,
                    CAST(sum(n) AS BIGINT) AS n_total
             FROM part GROUP BY event_type
+        """,
+        "quantized_topk_embeddings": """
+            WITH eq AS (
+              SELECT vec_id,
+                     CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS s,
+                     list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE
+                              / (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                              + 0.5) AS BIGINT)) AS q
+              FROM (SELECT vec_id, embedding,
+                           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                    FROM embeddings)
+            ), qs AS (
+              SELECT vec_id AS query_id, q AS qq FROM eq WHERE vec_id < 5
+            ), scored AS (
+              SELECT qs.query_id, e.vec_id,
+                     CASE WHEN list_dot_product(e.q, e.q) > 0
+                           AND list_dot_product(qs.qq, qs.qq) > 0
+                          THEN list_dot_product(e.q, qs.qq)::DOUBLE
+                               / (sqrt(list_dot_product(e.q, e.q)::DOUBLE)
+                                  * sqrt(list_dot_product(qs.qq, qs.qq)::DOUBLE))
+                          ELSE 0.0 END AS qcos_raw
+              FROM eq e CROSS JOIN qs
+            ), ranked AS (
+              SELECT query_id, vec_id, qcos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qcos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(qcos_raw, 4) AS qcosine, rank
+            FROM ranked WHERE rank <= 5
         """,
         "embedding_topk": """
             WITH q AS (

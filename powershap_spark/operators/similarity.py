@@ -28,6 +28,10 @@ __all__ = [
     "stride_centroids",
     "ivf_topk",
     "embedding_cosine_dedup",
+    "quantize_embedding",
+    "quantize_embeddings",
+    "quantized_cosine_col",
+    "quantized_topk",
 ]
 
 
@@ -297,3 +301,99 @@ def embedding_cosine_dedup(
         .distinct()
     )
     return embeddings.join(dupes, id_col, "left_anti")
+
+
+def quantize_embedding(vec, bits: int = 8) -> "F.Column":
+    """Symmetric per-vector int8 quantization of an array<float>: struct
+    (scale float, q array<tinyint>) with q_i = floor(v_i/scale + 0.5),
+    scale = max|v| / (2^(bits-1) - 1). A 100-TB embedding store shrinks 4x
+    (float32 -> int8) at ~0.2% cosine error for unit-normalized vectors.
+    floor(x + 0.5) is used instead of round() so the DuckDB oracle can
+    replicate the quantized values BIT-exactly (round() tie rules differ
+    across engines)."""
+    if bits != 8:
+        raise ValueError("only int8 (bits=8) quantization is implemented")
+    v = F.col(vec) if isinstance(vec, str) else vec
+    qmax = float(2 ** (bits - 1) - 1)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0, amax / F.lit(qmax)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("tinyint")
+    )
+    return F.struct(scale.cast("double").alias("scale"), q.alias("q"))
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qemb", bits: int = 8
+) -> DataFrame:
+    """Project an embedding table to its int8-quantized form (original
+    vector dropped — that is the point)."""
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        quantize_embedding(vec_col, bits).alias(out_col),
+    )
+
+
+def quantized_cosine_col(qa, qb) -> "F.Column":
+    """Cosine similarity from two quantized structs: the integer dot and
+    integer norms are exact (sums of int8 products fit int64 for any
+    realistic dimension), scales factor out of the ratio entirely — so the
+    result is the cosine of the QUANTIZED vectors, deterministic and
+    engine-agnostic."""
+    qa = F.col(qa) if isinstance(qa, str) else qa
+    qb = F.col(qb) if isinstance(qb, str) else qb
+    a, b = qa["q"], qb["q"]
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        a, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+    )
+    nb = F.aggregate(
+        b, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long") * v.cast("long")
+    )
+    return F.when(
+        (na > 0) & (nb > 0),
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized embeddings: quantize
+    both sides, scan the (4x smaller) quantized table once with broadcast
+    queries — the memory-bound variant of brute_force_topk. Returns
+    (query_id, vec_id, qcosine, rank)."""
+    e = quantize_embeddings(
+        embeddings.select(id_col, vec_col), vec_col, out_col="__qe"
+    )
+    q = quantize_embeddings(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        "__qv",
+        out_col="__qq",
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        quantized_cosine_col("__qe", "__qq").alias("qcosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -446,3 +446,22 @@ def test_connected_components_nonconvergence_raises(spark):
     # and converges fine with enough rounds
     out = connected_components(spark.createDataFrame(chain), max_iter=15)
     assert {r.comp for r in out.collect()} == {0}
+
+
+def test_quantized_topk_close_to_exact(spark, emb):
+    """int8 quantization preserves the cosine ranking on the embedding
+    fixture: top-1 per query matches the exact brute-force result and the
+    quantized cosine is within 1% of the exact value."""
+    from powershap_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    emb, _ = emb
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=3).toPandas()
+    quant = quantized_topk(emb, queries, k=3).toPandas()
+    for qid in exact.query_id.unique():
+        e1 = exact[(exact.query_id == qid) & (exact["rank"] == 1)].iloc[0]
+        q1 = quant[(quant.query_id == qid) & (quant["rank"] == 1)].iloc[0]
+        assert e1.vec_id == q1.vec_id
+        assert abs(e1.cosine - q1.qcosine) < 0.01
