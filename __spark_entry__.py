@@ -285,6 +285,17 @@ def q_dedup_clusters_documents(spark, sf_dir):
     )
 
 
+def q_deterministic_sample_documents(spark, sf_dir):
+    """Reproducible hash-based sampling (poly family so DuckDB recomputes
+    the exact membership set): the sampled doc_id set is a pure function of
+    (key, seed, fraction) — identical across partitionings, reruns, and
+    cluster sizes, unlike df.sample's layout-dependent RNG."""
+    from powershap_spark.operators.dedup import deterministic_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_sample(d, "doc_id", 0.25, seed=7, hash_family="poly")
+
+
 def q_token_counts(spark, sf_dir):
     from powershap_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -640,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "deterministic_sample_documents": q_deterministic_sample_documents,
         "token_counts": q_token_counts,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
@@ -1108,6 +1120,17 @@ def oracle_sql() -> dict[str, str]:
               + least(stop_ratio * 4.0, 1.0)
             ) / 4.0, 6) AS quality
             FROM b
+        """,
+        "deterministic_sample_documents": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         [unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]),
+                       (acc, x) -> (acc * 31 + x) % 1000000007
+                     ) AS ph
+              FROM documents)
+            WHERE ((105490554 * ph + 358133587) % 1000000007) / 1000000007.0 < 0.25
         """,
         "fingerprint_documents": """
             SELECT doc_id,

@@ -32,6 +32,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "dedup_by_components",
+    "deterministic_sample",
     "affine_params",
     "POLY_MOD",
     "BAND_MOD",
@@ -507,3 +508,38 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Reproducible row sampling by key hash — the training-data-pipeline
+    form of sampling at 10^12 rows: membership is a pure function of
+    (key, seed, fraction), so it is identical across reruns, partitionings,
+    resumes, and cluster sizes (``df.sample`` is none of those: its RNG
+    draws depend on partition layout), and a row's fate never changes when
+    OTHER rows appear or disappear. Widening the fraction keeps every
+    previously sampled row (nested samples: f1 <= f2 -> sample(f1) is a
+    subset of sample(f2)).
+
+    hash_family="xxhash" is the scale path; "poly" uses the affine
+    polynomial char-hash family so the DuckDB oracle reproduces the exact
+    membership set (the key is stringified for the char hash)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    k = F.col(key_col)
+    if hash_family == "xxhash":
+        # uniform in [0, 1): splitmix-style xxhash64 bucket / 2^64
+        h = F.xxhash64(k, F.lit(seed))
+        u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    elif hash_family == "poly":
+        a_l, b_l = affine_params(1, seed)
+        ph = _poly_char_hash(k.cast("string"))
+        u = F.pmod(a_l[0] * ph + b_l[0], F.lit(POLY_MOD)) / F.lit(float(POLY_MOD))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return df.filter(u < F.lit(float(fraction)))

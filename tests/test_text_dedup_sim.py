@@ -465,3 +465,21 @@ def test_quantized_topk_close_to_exact(spark, emb):
         q1 = quant[(quant.query_id == qid) & (quant["rank"] == 1)].iloc[0]
         assert e1.vec_id == q1.vec_id
         assert abs(e1.cosine - q1.qcosine) < 0.01
+
+
+def test_deterministic_sample_properties(spark):
+    """Hash-based sampling: partition-layout-invariant, nested across
+    fractions (f1<=f2 -> subset), approximately the requested rate, and
+    rerun-identical — none of which df.sample guarantees."""
+    from powershap_spark.operators.dedup import deterministic_sample
+
+    d = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in deterministic_sample(d, "k", 0.2).collect()}
+    s2 = {r.k for r in deterministic_sample(d.repartition(17), "k", 0.2).collect()}
+    assert s1 == s2  # layout-invariant
+    assert abs(len(s1) / 20_000 - 0.2) < 0.02  # close to the rate
+    wide = {r.k for r in deterministic_sample(d, "k", 0.5).collect()}
+    assert s1 <= wide  # nested samples
+    assert {r.k for r in deterministic_sample(d, "k", 0.2, seed=8).collect()} != s1
+    assert len({r.k for r in deterministic_sample(d, "k", 0.0).collect()}) == 0
+    assert len({r.k for r in deterministic_sample(d, "k", 1.0).collect()}) == 20_000
