@@ -422,16 +422,17 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 
 def q_embedding_cosine_dedup(spark, sf_dir):
-    """Embedding near-dup removal: LSH-bucketed candidate pairs (poly
-    family so the oracle can rebuild buckets), cosine >= 0.9 drops the
-    higher vec_id."""
+    """Embedding near-dup removal: BANDED sign-LSH candidate pairs (4 bands
+    of 8 planes — narrow buckets keep the self-join ~linear, bands buy back
+    recall; poly family so the oracle can rebuild every band's buckets),
+    cosine >= 0.9 drops the higher vec_id."""
     from powershap_spark.operators.similarity import embedding_cosine_dedup
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     out = embedding_cosine_dedup(
-        emb, threshold=0.9, n_planes=4, hash_family="poly"
+        emb, threshold=0.9, n_planes=8, n_bands=4, hash_family="poly"
     )
     return out.select("vec_id")
 
@@ -879,16 +880,21 @@ def _ivf_topk_oracle_sql() -> str:
 
 
 def _embedding_cosine_dedup_oracle_sql() -> str:
-    N_PLANES, SEED, THR = 4, 5, 0.9
+    # mirrors q_embedding_cosine_dedup: 4 bands x 8 planes, band b seeded 5+b
+    N_PLANES, N_BANDS, SEED, THR = 8, 4, 5, 0.9
     cos_ab = _duck_cos("a.v", "b.v")
+    band_cols = ", ".join(
+        f"({_duck_bucket('v', N_PLANES, SEED + b)}) AS b{b}" for b in range(N_BANDS)
+    )
+    any_band = " OR ".join(f"a.b{b} = b.b{b}" for b in range(N_BANDS))
     return f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), eb AS (
-          SELECT vec_id, v, ({_duck_bucket('v', N_PLANES, SEED)}) AS b FROM e
+          SELECT vec_id, v, {band_cols} FROM e
         ), dupes AS (
           SELECT DISTINCT b.vec_id
-          FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+          FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND ({any_band})
           WHERE ({cos_ab}) >= {THR}
         )
         SELECT vec_id FROM e

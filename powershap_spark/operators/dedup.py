@@ -228,9 +228,14 @@ def lsh_candidate_pairs(
         )
     rows_per_band = max(1, num_hashes // bands)
 
+    # Shuffle-byte discipline (100-TB lever): the band explosion multiplies
+    # row count by ``bands``, so it must NOT carry the full signature array —
+    # band rows are (id, band_id, band_hash) only (~24 bytes), and both
+    # signatures are re-attached AFTER the pair set is deduplicated by
+    # joining the (caller-persisted) signature table twice on id. Net big
+    # shuffle: 2x signature bytes instead of ``bands``x (8x at defaults).
     banded = df.select(
         F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
@@ -245,23 +250,25 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("__id", "__sig", "band.band_id", "band.band_hash")
+    ).select("__id", "band.band_id", "band.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = df.select(F.col(id_col).alias("__sid"), F.col(sig_col).alias("__s"))
+    pairs = (
+        pair_ids.join(sigs, F.col("id_a") == F.col("__sid"))
+        .select("id_a", "id_b", F.col("__s").alias("sig_a"))
+        .join(sigs, F.col("id_b") == F.col("__sid"))
+        .select("id_a", "id_b", "sig_a", F.col("__s").alias("sig_b"))
     )
     est = (
         F.aggregate(

@@ -27,6 +27,7 @@ __all__ = [
     "lsh_topk",
     "stride_centroids",
     "ivf_topk",
+    "cosine_candidate_pairs",
     "embedding_cosine_dedup",
     "quantize_embedding",
     "quantize_embeddings",
@@ -266,35 +267,96 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def embedding_cosine_dedup(
+def cosine_candidate_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.97,
-    n_planes: int = 4,
+    n_planes: int = 16,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 5,
     hash_family: str = "xxhash",
 ) -> DataFrame:
-    """Embedding near-duplicate removal: candidate pairs share an LSH sign
-    bucket (never all-pairs), pairs with cosine >= threshold drop the higher
-    id. Near-identical vectors land in the same bucket with probability
-    ~(1 - theta/pi)^n_planes -> ~1 as theta -> 0, so recall is high exactly
-    where dedup matters."""
+    """Banded sign-LSH candidate generation: ``n_bands`` independent
+    sign-buckets of ``n_planes`` hyperplanes each (band b's planes are
+    seeded ``seed + b``); a pair is a candidate iff it collides in ANY band.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale shape: expected bucket occupancy is ~N / 2^n_planes for spread-out
+    vectors, so the per-bucket self-join stays ~linear when
+    ``n_planes >= log2(N / target_bucket_rows)`` — 16 planes = 65,536
+    buckets per band (size it up for 10^9-row tables: >= 24 planes). Recall
+    for a pair at angle theta is 1 - (1 - p^n_planes)^n_bands with
+    p = 1 - theta/pi, so bands buy back the recall that narrow buckets cost:
+    at cosine 0.97, 16 planes x 8 bands ~ 0.92, x 16 bands ~ 0.99. The band
+    explosion carries only (id, band, bucket) — vectors are re-attached by
+    the caller after pair dedup (shuffle-byte discipline)."""
     e = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__b"),
-    )
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        lsh_bucket(
+                            vec_col, n_planes, seed=seed + b, hash_family=hash_family
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_id", "band.bucket")
     a, b = e.alias("a"), e.alias("b")
-    dupes = (
+    return (
         a.join(
             b,
-            (F.col("a.__b") == F.col("b.__b"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.97,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    hash_family: str = "xxhash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate removal: candidate pairs collide in at
+    least one of ``n_bands`` sign-LSH bands of ``n_planes`` planes each
+    (never all-pairs — see cosine_candidate_pairs for the occupancy and
+    recall math); pairs with cosine >= threshold drop the higher id.
+
+    The banded design replaces the former single-bucket scheme whose
+    narrow default (4 planes = 16 buckets) made the within-bucket self-join
+    O((N/16)^2): narrow buckets now come from n_planes (keep
+    2^n_planes >= N / target_bucket_rows) and recall from n_bands, and the
+    band self-join shuffles ids only — the vectors rejoin after pair
+    dedup."""
+    pairs = cosine_candidate_pairs(
+        embeddings,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        hash_family=hash_family,
+    )
+    vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    dupes = (
+        pairs.join(vecs, F.col("id_a") == F.col("__vid"))
+        .select("id_a", "id_b", F.col("__v").alias("__va"))
+        .join(vecs, F.col("id_b") == F.col("__vid"))
         .select(
-            F.col(f"b.{id_col}").alias(id_col),
-            cosine_similarity_col(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+            F.col("id_b").alias(id_col),
+            cosine_similarity_col(F.col("__va"), F.col("__v")).alias("__cos"),
         )
         .filter(F.col("__cos") >= float(threshold))
         .select(id_col)

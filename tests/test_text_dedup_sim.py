@@ -283,6 +283,34 @@ def test_embedding_cosine_dedup_drops_planted_near_dups(spark):
     assert len(kept) >= 18  # random vectors survive
 
 
+def test_cosine_candidate_pairs_linear_on_planted_corpus(spark):
+    """VERDICT r3 'What's wrong' #1: candidate generation must stay ~linear
+    in N on a spread-out corpus (the old 4-plane single bucket made the
+    self-join O((N/16)^2)), while exact-dup pairs keep perfect recall
+    (identical vectors collide in EVERY band)."""
+    from powershap_spark.operators.similarity import cosine_candidate_pairs
+
+    r = np.random.RandomState(7)
+    n, dim, n_planted = 1200, 32, 15
+    base = r.randn(n, dim)
+    vecs = list(map(list, base)) + [
+        list(2.0 * base[i]) for i in range(n_planted)  # exact-direction dups
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": vecs}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    pairs = cosine_candidate_pairs(sdf, n_planes=12, n_bands=4).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    # perfect recall on planted exact dups
+    for i in range(n_planted):
+        assert (i, n + i) in got
+    # ~linear: with 2^12 buckets/band and N~1.2k, expected collisions per
+    # band are << N; allow a generous linear constant but rule out the
+    # quadratic regime (all-pairs would be ~740k)
+    assert len(got) < 8 * len(vecs)
+
+
 def test_frame_sample_zero_frames_yields_no_rows(spark):
     media = spark.createDataFrame(
         pd.DataFrame(
