@@ -522,11 +522,47 @@ def q_powershap_selection(spark, sf_dir):
 
 
 def q_image_features_fake(spark, sf_dir):
-    from powershap_spark.operators.multimodal import attach_fake_media, image_features
+    """Image feature extraction (deterministic fake decoder) over the
+    committed media fixture. The numpy RandomState decode is not
+    SQL-expressible, so the oracle is a committed expected-output fixture
+    (the frame_sample/selection pattern): the live mapInPandas run must
+    reproduce it bit-for-bit or the value hash diverges."""
+    from powershap_spark.operators.multimodal import image_features
 
-    d = _read(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
-    media = attach_fake_media(d, "doc_id")
-    return image_features(media, fake=True)
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_small.parquet")
+    out = image_features(media, fake=True)
+    return out.select(
+        "doc_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+    )
+
+
+def q_image_resize_fake(spark, sf_dir):
+    """Decode (fake) -> real numpy nearest-neighbor resize -> raw bytes,
+    over the committed media fixture; expected-output-fixture oracle.
+    Resized payload exposed as hex for byte-exact cross-engine compare."""
+    from powershap_spark.operators.multimodal import image_resize
+
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_small.parquet")
+    out = image_resize(media, target_w=4, target_h=4, fake=True)
+    return out.select(
+        "doc_id", "width", "height", F.hex("resized").alias("resized_hex")
+    )
+
+
+def q_audio_features_fake(spark, sf_dir):
+    """RMS + zero-crossing-rate (deterministic fake waveform decoder) over
+    the committed media fixture; expected-output-fixture oracle."""
+    from powershap_spark.operators.multimodal import audio_features
+
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_small.parquet")
+    out = audio_features(media, fake=True)
+    return out.select(
+        "doc_id",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
 
 
 def q_frame_sample_fake(spark, sf_dir):
@@ -665,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_features": q_transcript_features,
         "powershap_selection": q_powershap_selection,
         "image_features_fake": q_image_features_fake,
+        "image_resize_fake": q_image_resize_fake,
+        "audio_features_fake": q_audio_features_fake,
         "frame_sample_fake": q_frame_sample_fake,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
@@ -1153,6 +1191,22 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
         "embedding_cosine_dedup": _embedding_cosine_dedup_oracle_sql(),
         "frame_sample_fake": _FRAME_SAMPLE_ORACLE,
+        # fake-decoder ops: numpy RandomState decode is not SQL-expressible,
+        # so the oracle reads the committed expected-output fixture (the
+        # selection_iterations pattern) — the live Spark run regenerates the
+        # identical values from media_small.parquet or the hash diverges
+        "image_features_fake": f"""
+            SELECT doc_id, mean_intensity, std_intensity
+            FROM read_parquet('{_FIXTURE_DIR}/image_features_expected.parquet')
+        """,
+        "image_resize_fake": f"""
+            SELECT doc_id, width, height, resized_hex
+            FROM read_parquet('{_FIXTURE_DIR}/image_resize_expected.parquet')
+        """,
+        "audio_features_fake": f"""
+            SELECT doc_id, rms, zero_crossing_rate
+            FROM read_parquet('{_FIXTURE_DIR}/audio_features_expected.parquet')
+        """,
         "transcript_features": f"""
             WITH t AS (
               SELECT * FROM read_parquet('{_FIXTURE_DIR}/transcripts_small.parquet')

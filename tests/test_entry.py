@@ -75,3 +75,26 @@ def test_selection_iterations_fixture_is_deterministic(spark):
         live["mean_abs_shap"].values.view("uint32")
         == committed["mean_abs_shap"].values.view("uint32")
     ).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["image_features_fake", "image_resize_fake", "audio_features_fake"]
+)
+def test_multimodal_expected_fixtures_are_deterministic(spark, name):
+    """The fake-decoder multimodal oracles read committed expected-output
+    fixtures; pin that the live mapInPandas run over media_small.parquet
+    still reproduces them exactly (if the fake decoder or resize math
+    changes, regenerate via tools/make_fixtures.py)."""
+    import os
+
+    fix = os.path.join(
+        os.path.dirname(__file__),
+        "fixtures",
+        name.replace("_fake", "") + "_expected.parquet",
+    )
+    committed = pd.read_parquet(fix)
+    live = em.queries()[name](spark, None).orderBy("doc_id").toPandas()
+    assert list(live.columns) == list(committed.columns)
+    pd.testing.assert_frame_equal(
+        live.reset_index(drop=True), committed.reset_index(drop=True)
+    )

@@ -78,6 +78,19 @@ def main():
         .toPandas()
     )
     pq.write_table(pa.Table.from_pandas(sp, preserve_index=False), SELECTION, **kw)
+
+    # expected-output fixtures for the fake-decoder multimodal queries: the
+    # numpy RandomState decode is deterministic but not SQL-expressible, so
+    # the DuckDB side of those oracles reads these committed copies while
+    # the live Spark query recomputes them from media_small.parquet
+    for name in ("image_features_fake", "image_resize_fake", "audio_features_fake"):
+        out = entry.queries()[name](spark, None).orderBy("doc_id").toPandas()
+        path = os.path.abspath(
+            os.path.join(FIXTURE_DIR, name.replace("_fake", "") + "_expected.parquet")
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path, **kw)
+        print(f"wrote {path} ({len(out)} rows)")
+
     print(
         f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows), "
         f"{MEDIA} ({len(mp)} rows), {SELECTION} ({len(sp)} rows)"
