@@ -463,6 +463,9 @@ def q_transcript_features(spark, sf_dir):
     )
 
 
+_SEL_ORACLE_CK = None
+
+
 def _selection_iterations(spark):
     """Run the flagship selection loop (deterministic synth input, 5
     iterations, a genuine 2-partition grid via part_by) with per-iteration
@@ -471,17 +474,25 @@ def _selection_iterations(spark):
     sklearn-exact splits, vendored numpy models), so its partials equal the
     committed fixture copy regenerated by tools/make_fixtures.py and pinned
     by tests/test_entry.py."""
+    import atexit
     import glob
     import shutil
+    import tempfile
 
     from powershap_spark import synth
     from powershap_spark.pipeline import select_features
 
-    # stable path, wiped at entry: the checkpoint files must outlive this
-    # function (the returned DataFrame reads them lazily), so a per-call
-    # mkdtemp would leak a directory per invocation across bench repeats —
-    # one fixed dir bounds the residue to a single run's worth
-    ck = "/tmp/powershap_sel_oracle_ck"
+    # Per-PROCESS private scratch dir, wiped between invocations and removed
+    # at exit: the checkpoint files must outlive this function (the returned
+    # DataFrame reads them lazily), so a per-call mkdtemp would leak one dir
+    # per bench repeat — while a fixed /tmp name raced concurrent pytest
+    # workers / bench runs rmtree-ing each other mid-read and is a
+    # symlink-attack smell on shared hosts (ADVICE r3).
+    global _SEL_ORACLE_CK
+    if _SEL_ORACLE_CK is None:
+        _SEL_ORACLE_CK = tempfile.mkdtemp(prefix="powershap_sel_oracle_")
+        atexit.register(shutil.rmtree, _SEL_ORACLE_CK, ignore_errors=True)
+    ck = _SEL_ORACLE_CK
     shutil.rmtree(ck, ignore_errors=True)
     t = synth.transcripts(spark, n_conv=300, mean_turns=15)
     p = synth.probes(spark, t, probe_frac=0.3)
@@ -655,6 +666,8 @@ def q_percentile_pvalue(spark, sf_dir):
             (
                 F.sum((F.col("value") < x).cast("int"))
                 + F.sum((F.col("value") <= x).cast("int"))
+                # scipy >= 1.9 rank semantics: +1 when any value ties the score
+                + F.max((F.col("value") == x).cast("int"))
             )
             / (2.0 * F.count("*")),
             6,
@@ -1330,7 +1343,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT feature,
                    round(avg(v), 6) AS impact,
                    round((sum(CASE WHEN v < (SELECT mr FROM r) THEN 1 ELSE 0 END)
-                        + sum(CASE WHEN v <= (SELECT mr FROM r) THEN 1 ELSE 0 END))
+                        + sum(CASE WHEN v <= (SELECT mr FROM r) THEN 1 ELSE 0 END)
+                        + max(CASE WHEN v = (SELECT mr FROM r) THEN 1 ELSE 0 END))
                         / (2.0 * count(*)), 6) AS p_value
             FROM combined GROUP BY feature
         """,
@@ -1338,7 +1352,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (SELECT avg(value) AS x FROM events)
             SELECT event_type,
                    round((sum(CASE WHEN value < (SELECT x FROM g) THEN 1 ELSE 0 END)
-                        + sum(CASE WHEN value <= (SELECT x FROM g) THEN 1 ELSE 0 END))
+                        + sum(CASE WHEN value <= (SELECT x FROM g) THEN 1 ELSE 0 END)
+                        + max(CASE WHEN value = (SELECT x FROM g) THEN 1 ELSE 0 END))
                         / (2.0 * count(*)), 6) AS p_value
             FROM events GROUP BY event_type
         """,

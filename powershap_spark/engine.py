@@ -372,6 +372,25 @@ class SparkExplainBackend:
                     "explain produced no results — the input DataFrame has no "
                     "rows (e.g. every probe fell before its conversation start)"
                 )
+            # Surface degenerate (no-signal) fits DRIVER-side: a single-class
+            # block's zero-coefficient model yields all-zero partials for
+            # every feature, and the executor-side UserWarning raised inside
+            # applyInPandas never reaches the driver console (ADVICE r3).
+            blk_max = res.groupby(["iteration", "part_id"])["mean_abs_shap"].max()
+            degenerate = [
+                (int(i), int(p)) for (i, p) in blk_max[blk_max == 0.0].index
+            ]
+            if degenerate:
+                import warnings
+
+                warnings.warn(
+                    f"{len(degenerate)} explain block(s) produced all-zero "
+                    f"SHAP partials (iteration, part_id)={degenerate[:10]} — "
+                    "likely single-class fits (e.g. an unstratified part "
+                    "holding one label); their statistically-neutral zeros "
+                    "still fold into the selection statistics",
+                    UserWarning,
+                )
             for g, pdf_it in res.groupby("iteration"):
                 pdf_it = pdf_it.reset_index(drop=True)
                 pdf_it["seed_start"] = seed_start
@@ -387,6 +406,7 @@ class SparkExplainBackend:
                         "n_parts": self.n_parts,
                         "wall_s": wall,
                         "rows_per_iteration": int(res["n_rows"].sum() / max(1, res["iteration"].nunique())),
+                        "degenerate_blocks": degenerate,
                     }
                 )
 

@@ -33,8 +33,12 @@ __all__ = [
 def percentileofscore_rank(scores: np.ndarray, x: float) -> float:
     """scipy.stats.percentileofscore(scores, x, kind='rank') — in [0, 100].
 
-    rank semantics: mean of the 'weak' (<=) and 'strict' (<) percentages,
-    i.e. ``(count(s < x) + count(s <= x)) * 50 / n``.
+    rank semantics (scipy >= 1.9): mean of the 'weak' (<=) and 'strict' (<)
+    counts plus a +1 tie correction applied when any element equals the
+    score, i.e. ``(count(s < x) + count(s <= x) + [any(s == x)]) * 50 / n``.
+    The tie term matters for degenerate all-equal columns (e.g. all-zero
+    SHAP values from a single-class fit), where omitting it understates the
+    percentile by 1/(2n).
     """
     s = np.asarray(scores, dtype=np.float64)
     n = len(s)
@@ -42,7 +46,8 @@ def percentileofscore_rank(scores: np.ndarray, x: float) -> float:
         return np.nan
     strict = np.count_nonzero(s < x)
     weak = np.count_nonzero(s <= x)
-    return (strict + weak) * 50.0 / n
+    plus1 = 1 if weak > strict else 0
+    return (strict + weak + plus1) * 50.0 / n
 
 
 # ---------------------------------------------------------------------------

@@ -440,24 +440,39 @@ def connected_components(
     equi-join shuffle + one groupBy-min shuffle per round), converging in
     O(component diameter) rounds. LSH/Jaccard candidate graphs are
     star-like (bucket-mates all pair with each other), so diameters are
-    tiny — typically 2-4 rounds. ``localCheckpoint`` truncates the lineage
-    every round: without it the iterative plan grows exponentially and
-    round k replays rounds 0..k-1.
+    tiny — typically 2-4 rounds. Per-round checkpointing truncates the
+    lineage: without it the iterative plan grows exponentially and round k
+    replays rounds 0..k-1.
+
+    Fault tolerance: when the session has a RELIABLE checkpoint dir
+    configured (``spark.sparkContext.setCheckpointDir(...)``), rounds use
+    ``checkpoint()`` — blocks live on the shared filesystem and survive
+    executor loss. Otherwise ``localCheckpoint`` is the fallback: blocks
+    are stored only on executors, so on a real cluster losing an executor
+    mid-computation makes the truncated lineage unrecoverable and fails
+    the job (acceptable for this sandbox's single JVM; set a checkpoint
+    dir for production runs).
 
     Scale shape: never materializes components on the driver; the only
     per-round action is the convergence count. For graphs with genuinely
     long chains raise ``max_iter`` (rounds, not data, are the cost)."""
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -476,14 +491,13 @@ def connected_components(
         # third labels-join. Superseded checkpoint blocks are released by
         # Spark's ContextCleaner once the old DataFrame reference drops.
         nc = F.coalesce(F.col("nbr_comp"), F.col("comp"))
-        new = (
+        new = _ckpt(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), nc).alias("comp"),
                 (nc < F.col("comp")).cast("long").alias("__chg"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new.select("id", "comp")

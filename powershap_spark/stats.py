@@ -138,6 +138,8 @@ def selection_statistics_spark(iterations_df):
             (
                 F.sum((F.col("v") < x).cast("int"))
                 + F.sum((F.col("v") <= x).cast("int"))
+                # scipy >= 1.9 rank semantics: +1 when any value ties the score
+                + F.max((F.col("v") == x).cast("int"))
             )
             / (2.0 * F.count("*"))
         ).alias("p_value"),

@@ -167,3 +167,16 @@ def test_cv_block_failure_raises_actionable_error(spark, clf_xy):
     )
     with pytest.raises(Exception, match="reduce n_parts|part_by"):
         sel.fit(sdf, label_col="label", feature_cols=list(X.columns), group_col="grp")
+
+
+def test_single_class_block_warns_driver_side(spark, clf_xy):
+    """A single-class y yields zero-coefficient (no-signal) fits whose
+    executor-side warning never reaches the driver; the engine must surface
+    the all-zero-partial blocks as a DRIVER-side warning (ADVICE r3)."""
+    X, _ = clf_xy
+    y_const = np.zeros(len(X), dtype=np.int64)
+    sdf = _as_spark(spark, X, y_const)
+    sel = PowerShapSelector(power_iterations=2, sort_cols=["row_id"])
+    with pytest.warns(UserWarning, match="all-zero"):
+        sel.fit(sdf, label_col="label", feature_cols=list(X.columns))
+    assert sel.selected_features_ == []

@@ -17,12 +17,16 @@ from powershap_spark.functions.numerics import (
 
 
 def test_percentileofscore_rank_matches_scipy_semantics():
-    # scipy.stats.percentileofscore(kind='rank') goldens
-    assert percentileofscore_rank(np.array([1, 2, 3, 4]), 3) == 62.5
+    # scipy.stats.percentileofscore(kind='rank') goldens, incl. the +1 tie
+    # correction (scipy >= 1.9: (left + right + [left < right]) * 50 / n,
+    # equal to the classic mean-rank-of-ties definition).
+    # scipy docs example: percentileofscore([1, 2, 3, 4], 3) -> 75.0
+    assert percentileofscore_rank(np.array([1, 2, 3, 4]), 3) == 75.0
     assert percentileofscore_rank(np.array([1, 2, 3, 4]), 2.5) == 50.0
-    assert percentileofscore_rank(np.array([1, 2, 2, 3]), 2) == 50.0
-    assert percentileofscore_rank(np.array([1, 2, 2, 2, 3]), 2) == 50.0
-    assert percentileofscore_rank(np.array([5, 5, 5]), 5) == 50.0
+    assert percentileofscore_rank(np.array([1, 2, 2, 3]), 2) == 62.5
+    assert percentileofscore_rank(np.array([1, 2, 2, 2, 3]), 2) == 60.0
+    # all-equal (the degenerate all-zero-SHAP column case): mean rank 2 of 3
+    assert percentileofscore_rank(np.array([5, 5, 5]), 5) == pytest.approx(200 / 3)
     assert percentileofscore_rank(np.array([1, 2, 3]), 0) == 0.0
     assert percentileofscore_rank(np.array([1, 2, 3]), 9) == 100.0
 

@@ -37,8 +37,9 @@ def test_pvalues_tie_aware_and_all_columns():
 
 
 def test_exact_tie_pvalue():
-    # identical column and random probe -> p = 0.5 exactly when mean equals
-    # every value? craft: constant columns
+    # constant column tying the score everywhere: scipy rank semantics give
+    # the mean rank of the ties, (0 + 8 + 1) * 0.5 / 8 = 0.5625 (NOT 0.5 —
+    # the +1 tie correction, ADVICE r3)
     df = pd.DataFrame(
         {
             "feat": np.full(8, 0.5, dtype="float32"),
@@ -46,7 +47,7 @@ def test_exact_tie_pvalue():
         }
     )
     out = statistical_analysis(df, 0.01, 0.99)
-    assert out.loc["feat", "p_value"] == 0.5
+    assert out.loc["feat", "p_value"] == 0.5625
 
 
 def test_ddof_asymmetry_effect_size():
