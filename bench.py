@@ -63,6 +63,24 @@ def run_bench(spark, sf_dir: str, powershap_iterations: int = 10):
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # --- session warmup (untimed) ------------------------------------------
+    # The first job in a fresh session pays JVM JIT + whole-stage-codegen
+    # compilation + the Arrow Python-worker pool spin-up (~5-7 s at sf0.1,
+    # measured: first transcript_materialize 8.5 s vs 1.6 s steady-state —
+    # the r3 "regression" was exactly this cold-start landing on the first
+    # timed item). Warm those paths on a tiny input so the timed numbers
+    # reflect steady-state throughput, which is what a long-lived cluster
+    # session sees.
+    from powershap_spark import synth as _synth
+
+    _wt = _synth.transcripts(spark, n_conv=50, mean_turns=10)
+    _wt.count()
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"a": [1, 2]})).groupBy("a").applyInPandas(
+        lambda pdf: pdf, schema="a long"
+    ).count()
+
     # --- flagship: transcript pipeline ------------------------------------
     t, p = build_transcripts(spark, sf)
     t = t.cache()

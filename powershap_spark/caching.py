@@ -17,12 +17,36 @@ just recomputes its lineage.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark import StorageLevel
 
 _LOCAL = threading.local()
 _GLOBAL: list = []
+
+# Memory-budget escape hatch (VERDICT r3 #5): the salted build's diamond
+# persist holds the full exploded window table — at sf2 that OOMs a fixed
+# 12 GB executor under MEMORY_AND_DISK. POWERSHAP_PERSIST_LEVEL=DISK_ONLY
+# trades recompute-speed for a bounded memory footprint (blocks go straight
+# to local disk; tasks stream them back). The env var is read driver-side at
+# each tracked_persist call, so a bench harness can flip it per cell.
+_LEVELS = {
+    "MEMORY_AND_DISK": StorageLevel.MEMORY_AND_DISK,
+    "MEMORY_AND_DISK_DESER": StorageLevel.MEMORY_AND_DISK_DESER,
+    "DISK_ONLY": StorageLevel.DISK_ONLY,
+    "MEMORY_ONLY": StorageLevel.MEMORY_ONLY,
+}
+
+
+def default_persist_level() -> StorageLevel:
+    name = os.environ.get("POWERSHAP_PERSIST_LEVEL", "MEMORY_AND_DISK").upper()
+    try:
+        return _LEVELS[name]
+    except KeyError:
+        raise ValueError(
+            f"POWERSHAP_PERSIST_LEVEL={name!r}; expected one of {sorted(_LEVELS)}"
+        ) from None
 
 
 def _stack() -> list:
@@ -32,10 +56,12 @@ def _stack() -> list:
     return st
 
 
-def tracked_persist(df, level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+def tracked_persist(df, level: StorageLevel | None = None):
     """persist + register in the innermost active ``tracking_scope`` of this
-    thread (or the global registry when no scope is active)."""
-    df.persist(level)
+    thread (or the global registry when no scope is active). ``level``
+    defaults to MEMORY_AND_DISK, overridable process-wide via the
+    POWERSHAP_PERSIST_LEVEL env var (see ``default_persist_level``)."""
+    df.persist(level if level is not None else default_persist_level())
     st = _stack()
     (st[-1] if st else _GLOBAL).append(df)
     return df
