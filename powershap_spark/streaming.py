@@ -117,6 +117,16 @@ def streaming_turn_features(
     - session_gap_s / session_seq: ts-threshold sessionization
       (windows.session_gap / sessionize);
     - last_tool: strictly-past forward-fill (windows.ffill strict_past).
+
+    Lateness contract: rows whose event time is older than the current
+    watermark (max seen ts - ``watermark`` delay) are DROPPED before the
+    state fold. Spark does NOT pre-filter late input for arbitrary stateful
+    operators the way it does for streaming aggregations — the watermark
+    only gates state timeouts — so the operator enforces the documented
+    bound itself via ``GroupState.getCurrentWatermarkMs`` (0 on the first
+    microbatch = nothing dropped). Lateness within the delay is accepted;
+    the session timezone is pinned to UTC (session.py) so the epoch
+    arithmetic is consistent with the watermark's epoch-millis.
     """
     tau = float(tau_seconds)
 
@@ -131,8 +141,11 @@ def streaming_turn_features(
             n_turns, tok_sum, last_ts, session_seq, last_tool = 0, 0.0, None, -1, None
         import numpy as np
 
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
         out = []
         for pdf in pdfs:
+            if wm_s > 0:
+                pdf = pdf[(pdf["ts"].astype("int64") / 1e9) >= wm_s]
             n = len(pdf)
             if n == 0:
                 continue

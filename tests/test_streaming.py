@@ -73,7 +73,10 @@ def test_streaming_features_match_batch(spark, tmp_path, n_batches):
     stream = stream_transcripts(
         spark, src, max_files_per_trigger=1 if n_batches > 1 else None
     )
-    feats = streaming_turn_features(stream, tau_seconds=TAU)
+    # parity across slicings is the subject here, not lateness: synth convs
+    # start at very different epochs, so slicing by turn ranges makes later
+    # slices of old conversations artificially "late" — accept everything
+    feats = streaming_turn_features(stream, tau_seconds=TAU, watermark="3650 days")
     run_stream_to_table(feats, f"stream_out_{n_batches}", str(tmp_path / "ckpt"))
     got = spark.sql(f"select * from stream_out_{n_batches}").toPandas()
 
@@ -94,3 +97,51 @@ def test_streaming_features_match_batch(spark, tmp_path, n_batches):
     assert (first.n_prev_turns == 0).all()
     assert first.n_tokens_avg_past.isna().all()
     assert first.last_tool.isna().all()
+
+
+def test_late_conversation_beyond_watermark_is_dropped(spark, tmp_path):
+    """Documented lateness contract (streaming.py module docstring):
+    cross-conversation lateness is bounded by the watermark — a whole
+    conversation arriving in a later microbatch with event times older
+    than (max seen ts - watermark delay) is DROPPED before the stateful
+    operator; lateness inside the delay is accepted."""
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def conv(cid, t0, n=3):
+        return pd.DataFrame(
+            {
+                "conv_id": [cid] * n,
+                "turn_idx": np.arange(n, dtype="int32"),
+                "role": ["user"] * n,
+                "text": ["a b c"] * n,
+                "tool": [None] * n,
+                "ts": [t0 + pd.Timedelta(seconds=10 * i) for i in range(n)],
+            }
+        )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # batch 1: fresh conversation at 12:00 -> watermark advances to ~11:00
+    b1 = conv("fresh", base)
+    # batch 2: one conversation wholly before the watermark (09:00, 2h late
+    # vs the 1h delay) and one inside the allowed lateness (11:30)
+    b2 = pd.concat(
+        [
+            conv("too_late", base - pd.Timedelta(hours=3)),
+            conv("in_grace", base - pd.Timedelta(minutes=30)),
+        ]
+    )
+    for i, b in enumerate([b1, b2]):
+        sdf = spark.createDataFrame(b, schema=TRANSCRIPT_SCHEMA)
+        sdf.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod times -> deterministic batch order
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    feats = streaming_turn_features(stream, tau_seconds=TAU, watermark="1 hour")
+    run_stream_to_table(feats, "stream_out_late", str(tmp_path / "ckpt_late"))
+    got = spark.sql("select * from stream_out_late").toPandas()
+
+    by_conv = got.groupby("conv_id").size().to_dict()
+    assert by_conv.get("fresh") == 3
+    assert by_conv.get("in_grace") == 3, by_conv
+    assert "too_late" not in by_conv, by_conv
