@@ -332,6 +332,75 @@ def q_fingerprint_documents(spark, sf_dir):
     return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
 
 
+def q_pii_scrub_documents(spark, sf_dir):
+    """PII scrubbing over documents with deterministically injected PII
+    (the synthetic corpus contains none): per-category match counts + the
+    redacted text. Both engines apply identical injection and the same
+    Java/RE2-shared regexes."""
+    from powershap_spark.operators.scrub import scrub_pii
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.concat(
+                F.lit("http://site"),
+                F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                F.lit(".example/x"),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.concat(
+                    F.lit("10.0."),
+                    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                    F.lit(".1"),
+                ),
+            ),
+            F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("555-123-4567")),
+        ).alias("text"),
+    )
+    out = scrub_pii(d, "text")
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "text_scrubbed"
+    )
+
+
+def q_repetition_documents(spark, sf_dir):
+    """Boilerplate/repetition quality signals (Gopher-style duplicate-token
+    and duplicate-bigram ratios) per document."""
+    from powershap_spark.operators.text import repetition_ratios
+
+    d = _read(spark, sf_dir, "documents")
+    r = repetition_ratios("text", n=2)
+    return d.select(
+        "doc_id",
+        F.round(r["dup_token_ratio"], 6).alias("dup_token_ratio"),
+        F.round(r["dup_2gram_ratio"], 6).alias("dup_2gram_ratio"),
+    )
+
+
+def q_chunk_tokens_documents(spark, sf_dir):
+    """Sequence chunking: each document's token stream split into fixed
+    32-token training windows, one row per chunk (pure explode+slice)."""
+    from powershap_spark.operators.text import chunk_tokens
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_tokens(d, max_tokens=32)
+
+
+def q_contamination_documents(spark, sf_dir):
+    """N-gram decontamination: training docs sharing >= 1 distinct word
+    3-gram with the 'benchmark' corpus (every 50th doc stands in for an
+    eval suite). String-shingle family so DuckDB recomputes the overlap."""
+    from powershap_spark.operators.dedup import benchmark_contamination
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return benchmark_contamination(d, bench, hash_family="poly")
+
+
 def q_embedding_topk(spark, sf_dir):
     from powershap_spark.operators.similarity import brute_force_topk
 
@@ -703,6 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "token_counts": q_token_counts,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "repetition_documents": q_repetition_documents,
+        "chunk_tokens_documents": q_chunk_tokens_documents,
+        "contamination_documents": q_contamination_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -930,6 +1003,31 @@ def _ivf_topk_oracle_sql() -> str:
     """
 
 
+def _pii_scrub_oracle_sql() -> str:
+    """Mirrors q_pii_scrub_documents: identical injection expression, then
+    the SAME regex literals (imported from operators.scrub, Java/RE2-shared
+    syntax) applied as counts on the injected text and as ordered global
+    replaces for the redaction."""
+    from powershap_spark.operators.scrub import PII_PATTERNS
+
+    inject = """concat_ws(' ', text,
+        'user' || doc_id || '@example.com',
+        'http://site' || (doc_id % 7) || '.example/x',
+        CASE WHEN doc_id % 3 = 0 THEN '10.0.' || (doc_id % 256) || '.1' END,
+        CASE WHEN doc_id % 5 = 0 THEN '555-123-4567' END)"""
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INTEGER AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH x AS (SELECT doc_id, {inject} AS t FROM documents)
+        SELECT doc_id, {counts}, {scrub} AS text_scrubbed FROM x
+    """
+
+
 def _embedding_cosine_dedup_oracle_sql() -> str:
     # mirrors q_embedding_cosine_dedup: 4 bands x 8 planes, band b seeded 5+b
     N_PLANES, N_BANDS, SEED, THR = 8, 4, 5, 0.9
@@ -1132,6 +1230,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_ws_tokens,
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
             FROM documents
+        """,
+        "pii_scrub_documents": _pii_scrub_oracle_sql(),
+        "repetition_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                                      i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                     ELSE []::VARCHAR[] END AS b
+              FROM tok
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(t) > 0
+                         THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+                         ELSE 0.0 END, 6) AS dup_token_ratio,
+                   round(CASE WHEN len(b) > 0
+                         THEN 1.0 - len(list_distinct(b))::DOUBLE / len(b)
+                         ELSE 0.0 END, 6) AS dup_2gram_ratio
+            FROM g
+        """,
+        "chunk_tokens_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id, t,
+                     unnest(range(0, ceil(len(t) / 32.0)::BIGINT)) AS chunk_idx
+              FROM tok
+            )
+            SELECT doc_id, chunk_idx::INTEGER AS chunk_idx,
+                   len(list_slice(t, chunk_idx*32 + 1, chunk_idx*32 + 32))::INTEGER
+                     AS n_tokens,
+                   array_to_string(list_slice(t, chunk_idx*32 + 1, chunk_idx*32 + 32), ' ')
+                     AS chunk_text
+            FROM c
+        """,
+        "contamination_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shingles
+              FROM tok
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT d.doc_id, count(*) AS n_contaminated_shingles
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) d
+              JOIN bench USING (s)
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_contaminated_shingles FROM hits
+            WHERE n_contaminated_shingles >= 1
         """,
         "lang_id_documents": f"""
             WITH s AS (

@@ -31,6 +31,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "connected_components",
+    "benchmark_contamination",
     "dedup_by_components",
     "deterministic_sample",
     "affine_params",
@@ -564,3 +565,50 @@ def deterministic_sample(
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     return df.filter(u < F.lit(float(fraction)))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Decontamination check: per training document, the number of distinct
+    word ``shingle_n``-grams it shares with the benchmark/eval corpus —
+    documents with >= ``min_hits`` overlapping shingles are the
+    contamination candidates an LLM data pipeline must drop before
+    training (n-gram overlap decontamination, the GPT-3/FLAN recipe).
+
+    Returns (id_col, n_contaminated_shingles), one row per flagged doc.
+
+    Scale shape: the benchmark shingle set is small (eval suites are MBs,
+    not TBs) — it is deduplicated and BROADCAST, so the big corpus is one
+    scan + a broadcast semi-join-shaped equi-join and a partial-agg count;
+    the training table is never shuffled on text. hash_family="xxhash"
+    joins on 64-bit hashed shingles (the scale path — no shingle strings
+    cross the wire); "poly" keeps string shingles so the DuckDB oracle can
+    recompute the exact overlap."""
+    sh = (
+        hashed_shingles(text_col, shingle_n)
+        if hash_family == "xxhash"
+        else shingles(text_col, shingle_n)
+    )
+    bsh = (
+        hashed_shingles(bench_text_col, shingle_n)
+        if hash_family == "xxhash"
+        else shingles(bench_text_col, shingle_n)
+    )
+    bench_set = (
+        benchmark.select(F.explode(bsh).alias("__sh")).distinct()
+    )
+    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    return (
+        doc_sh.join(F.broadcast(bench_set), "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= int(min_hits))
+    )

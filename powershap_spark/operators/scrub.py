@@ -1,0 +1,51 @@
+"""PII scrubbing for training-data pipelines: redact emails, URLs, IPv4
+addresses, and phone-shaped digit runs from a text column, with per-category
+match counts for corpus auditing.
+
+Pure ``regexp_replace`` / ``regexp_count`` expressions — whole-stage
+codegen, no Python, trivially parallel (per-row, no shuffle). The regexes
+deliberately use only syntax shared by Java's regex engine and RE2
+(no lookaround), so the DuckDB oracle replicates matches exactly.
+
+Scale shape: a 100-TB scrub is a single mapper pass; the only design
+decision that matters is NOT materializing intermediate scrubbed copies —
+the four rewrites compose into one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "scrub_pii", "pii_counts"]
+
+# Ordered: URLs first (an email-shaped substring inside a URL should be
+# redacted as part of the URL, not leave a dangling "<EMAIL>" mid-token).
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col) -> dict:
+    """Per-category match-count columns (pre-redaction text). Counts are
+    computed on the ORIGINAL text, before any rewrite, so categories don't
+    consume each other's matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("int")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Append ``out_col`` (redacted text) + n_url/n_email/n_ipv4/n_phone
+    count columns. One projection; rewrites applied in PII_PATTERNS order."""
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumns({**pii_counts(text_col), out_col: scrubbed})

@@ -17,6 +17,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "rolling_fingerprint",
+    "repetition_ratios",
+    "chunk_tokens",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -114,3 +116,72 @@ def rolling_fingerprint(col, mod: int = 1_000_000_007, base: int = 31) -> "F.Col
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
     ).cast("long")
+
+
+def repetition_ratios(col, n: int = 2) -> dict:
+    """Boilerplate / degenerate-repetition signals (the Gopher/RefinedWeb
+    quality-filter family): fraction of repeated tokens and repeated word
+    n-grams — 1 - distinct/total, 0.0 for empty docs, in [0, 1).
+
+    Highly repetitive machine-generated or template text scores near 1;
+    natural prose stays low. Pure array expressions (one split, slices and
+    set ops), oracle-expressible with DuckDB list functions."""
+    toks = _tokens(col)
+    n_tok = F.size(toks)
+
+    def dup_ratio(arr):
+        total = F.size(arr)
+        return (
+            F.when(total > 0, 1.0 - F.size(F.array_distinct(arr)) / total)
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
+
+    win = n_tok - (n - 1)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(0), win - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "dup_token_ratio": dup_ratio(toks),
+        f"dup_{n}gram_ratio": dup_ratio(grams),
+    }
+
+
+def chunk_tokens(
+    df,
+    text_col: str = "text",
+    max_tokens: int = 64,
+    id_cols: tuple = ("doc_id",),
+):
+    """Sequence chunking for training: split each document's whitespace
+    token stream into consecutive fixed-size windows — one output row per
+    chunk with (id, chunk_idx, n_tokens, chunk_text). The 1->N expansion is
+    a pure JVM ``explode(sequence(...))`` over ceil(n/max_tokens) chunk
+    indices + an array slice per row; empty documents yield zero rows
+    (explode drops the null sequence). No Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    toks = _tokens(text_col)
+    k = int(max_tokens)
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    chunk = F.col("chunk_idx")
+    piece = F.slice(F.col("__toks"), chunk * k + 1, k)
+    return (
+        df.select(
+            *id_cols,
+            toks.alias("__toks"),
+            F.explode(
+                F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            *id_cols,
+            chunk.cast("int").alias("chunk_idx"),
+            F.size(piece).cast("int").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "stream_transcripts",
     "streaming_turn_features",
     "run_stream_to_table",
+    "streaming_exact_dedup",
 ]
 
 TRANSCRIPT_SCHEMA = StructType(
@@ -228,3 +229,60 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return q
+
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_DEDUP_STATE = StructType([StructField("seen", IntegerType())])
+
+
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming exact deduplication for a continuous document feed: key
+    the stream by the 64-bit hash of the normalized text (the same
+    normalization as batch ``dedup.exact_dedup``), keep one tiny
+    seen-flag state row per distinct text, and emit ONLY each text's first
+    arrival — duplicates in later microbatches (or later in the same
+    batch) are suppressed. Within a microbatch, ties break by min id
+    (matching the batch operator's keep="min").
+
+    Scale shape: state is one int per DISTINCT document ever seen, sharded
+    by the state-store partitioning; the arriving batch is shuffled once
+    on the text hash. This is the ingest-time companion to the batch
+    dedup family: dedup-on-arrival instead of dedup-by-rescan."""
+    from .operators.dedup import normalize_text
+
+    keyed = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.xxhash64(normalize_text(text_col)).alias("__h"),
+    )
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = state.exists
+        for pdf in pdfs:
+            if seen or len(pdf) == 0:
+                continue
+            first = pdf.sort_values("doc_id", kind="mergesort").iloc[:1]
+            yield first[["doc_id", "text"]]
+            seen = True
+        if seen and not state.exists:
+            state.update((1,))
+
+    return keyed.groupBy("__h").applyInPandasWithState(
+        fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -145,3 +145,36 @@ def test_late_conversation_beyond_watermark_is_dropped(spark, tmp_path):
     assert by_conv.get("fresh") == 3
     assert by_conv.get("in_grace") == 3, by_conv
     assert "too_late" not in by_conv, by_conv
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Dedup-on-arrival: one row per distinct normalized text across all
+    microbatches; the first arrival survives (min doc_id within a batch),
+    matching batch exact_dedup's keep-set on this arrival order."""
+    from powershap_spark.streaming import streaming_exact_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    b1 = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta", "Alpha  beta", "gamma"]}
+    )  # 1 normalizes equal to 0 -> suppressed in-batch
+    b2 = pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["gamma", "delta epsilon"]}
+    )  # 3 duplicates batch-1's gamma -> suppressed cross-batch
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    for b in [b1, b2]:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_exact_dedup(stream)
+    from powershap_spark.streaming import run_stream_to_table
+
+    run_stream_to_table(out, "stream_dedup_out", str(tmp_path / "ckpt_dedup"))
+    got = spark.sql("select * from stream_dedup_out").toPandas()
+    assert sorted(got.doc_id) == [0, 2, 4]

@@ -511,3 +511,97 @@ def test_deterministic_sample_properties(spark):
     assert {r.k for r in deterministic_sample(d, "k", 0.2, seed=8).collect()} != s1
     assert len({r.k for r in deterministic_sample(d, "k", 0.0).collect()}) == 0
     assert len({r.k for r in deterministic_sample(d, "k", 1.0).collect()}) == 20_000
+
+
+def test_scrub_pii(spark):
+    from powershap_spark.operators.scrub import scrub_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me at a.b+c@foo.org or visit https://x.io/y?z=1 now",
+                "server 192.168.0.1 phone 555-123-4567",
+                "clean text with no pii at all",
+            ],
+        }
+    )
+    out = (
+        scrub_pii(spark.createDataFrame(pdf), "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out.n_email) == [1, 0, 0]
+    assert list(out.n_url) == [1, 0, 0]
+    assert list(out.n_ipv4) == [0, 1, 0]
+    assert list(out.n_phone) == [0, 1, 0]
+    assert out.text_scrubbed[0] == "mail me at <EMAIL> or visit <URL> now"
+    assert out.text_scrubbed[1] == "server <IP> phone <PHONE>"
+    assert out.text_scrubbed[2] == pdf.text[2]
+
+
+def test_repetition_ratios(spark):
+    from powershap_spark.operators.text import repetition_ratios
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a a a", "all tokens here are unique", ""],
+        }
+    )
+    r = repetition_ratios("text", n=2)
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "doc_id",
+            r["dup_token_ratio"].alias("dup_token_ratio"),
+            r["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.dup_token_ratio[0] == pytest.approx(0.75)  # 1 distinct of 4
+    assert out.dup_2gram_ratio[0] == pytest.approx(2 / 3)  # "a a" x3
+    assert out.dup_token_ratio[1] == 0.0 and out.dup_2gram_ratio[1] == 0.0
+    assert out.dup_token_ratio[2] == 0.0 and out.dup_2gram_ratio[2] == 0.0
+
+
+def test_chunk_tokens(spark):
+    from powershap_spark.operators.text import chunk_tokens
+
+    words = [f"w{i}" for i in range(70)]
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": [" ".join(words), "   "]}
+    )
+    out = (
+        chunk_tokens(spark.createDataFrame(pdf), max_tokens=32)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    assert list(out.doc_id) == [0, 0, 0]  # empty doc yields no rows
+    assert list(out.n_tokens) == [32, 32, 6]
+    # chunks reassemble the normalized token stream exactly, in order
+    assert " ".join(out.chunk_text) == " ".join(words)
+
+
+def test_benchmark_contamination_families_agree(spark, docs):
+    from powershap_spark.operators.dedup import benchmark_contamination
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    a = (
+        benchmark_contamination(docs, bench, hash_family="xxhash")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    b = (
+        benchmark_contamination(docs, bench, hash_family="poly")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # benchmark docs are contained in docs -> every bench doc self-flags
+    bench_ids = set(bench.toPandas().doc_id)
+    assert bench_ids <= set(a.doc_id)
+    # the hashed scale path and the string oracle path flag identical docs
+    # with identical overlap counts (xxhash collisions are ~impossible here)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.n_contaminated_shingles) == list(b.n_contaminated_shingles)
