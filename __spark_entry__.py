@@ -401,6 +401,21 @@ def q_contamination_documents(spark, sf_dir):
     return benchmark_contamination(d, bench, hash_family="poly")
 
 
+def q_jsonl_ingest_docs(spark, sf_dir):
+    """JSONL corpus ingest (explicit schema + PERMISSIVE corrupt-record
+    policy) over the committed fixture shard; the query returns the CLEAN
+    rows — DuckDB's read_json(ignore_errors) oracle skips the same two
+    malformed lines. Quarantine accounting is pytest-covered
+    (corrupt_stats)."""
+    from powershap_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, f"{_FIXTURE_DIR}/docs_small.jsonl", mode="permissive")
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .select("doc_id", "text", "lang", "url")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from powershap_spark.operators.similarity import brute_force_topk
 
@@ -776,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "contamination_documents": q_contamination_documents,
+        "jsonl_ingest_docs": q_jsonl_ingest_docs,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1232,6 +1248,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub_documents": _pii_scrub_oracle_sql(),
+        "jsonl_ingest_docs": f"""
+            SELECT doc_id, text, lang, url
+            FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',
+                           format='newline_delimited', ignore_errors=true,
+                           columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                     'lang': 'VARCHAR', 'url': 'VARCHAR'}})
+            -- ignore_errors surfaces malformed lines as all-NULL rows
+            -- (Spark PERMISSIVE tags them via _corrupt_record instead)
+            WHERE doc_id IS NOT NULL
+        """,
         "repetition_documents": """
             WITH tok AS (
               SELECT doc_id,

@@ -104,3 +104,31 @@ def test_tableio_parquet_roundtrip(spark, tmp_path):
 
 def test_iceberg_detection_without_catalog(spark):
     assert iceberg_available(spark) is False
+
+
+def test_read_jsonl_corrupt_record_policy(spark):
+    import os
+
+    import pytest
+
+    from powershap_spark.sources.jsonl import corrupt_stats, read_jsonl
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "docs_small.jsonl"
+    )
+    perm = read_jsonl(spark, path, mode="permissive")
+    stats = corrupt_stats(perm).collect()[0]
+    assert stats.n_lines == 22 and stats.n_corrupt == 2
+    assert stats.corrupt_frac == pytest.approx(2 / 22)
+    # the raw offending lines are preserved for quarantine
+    bad = perm.filter(perm["_corrupt_record"].isNotNull()).toPandas()
+    assert any("truncated" in s for s in bad["_corrupt_record"])
+
+    dropped = read_jsonl(spark, path, mode="dropmalformed")
+    assert dropped.count() == 20
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, path, mode="failfast").count()
+
+    with pytest.raises(ValueError):
+        read_jsonl(spark, path, mode="bogus")

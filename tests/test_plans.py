@@ -164,3 +164,37 @@ def test_turn_features_exchange_carries_only_narrow_ints(spark):
     assert "upper_ratio" not in inp
     assert "avg_token_len" not in inp
     assert "text#" not in inp  # raw text never reaches the window shuffle
+
+
+def test_chunk_tokens_plan_pure_jvm_no_shuffle(spark):
+    """Sequence chunking is a mapper: explode+slice, no Python, no
+    exchange — a 100-TB chunking pass is one scan."""
+    from powershap_spark.operators.text import chunk_tokens
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_tokens(d, max_tokens=32))
+    assert "InPandas" not in plan and "Python" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_scrub_pii_plan_single_projection(spark):
+    """PII scrub composes all four rewrites into one codegen projection."""
+    from powershap_spark.operators.scrub import scrub_pii
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(scrub_pii(d))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "InPandas" not in plan and "Python" not in plan
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — the training corpus is
+    never shuffled on shingles."""
+    from powershap_spark.operators.dedup import benchmark_contamination
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(benchmark_contamination(d, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
