@@ -401,6 +401,16 @@ def q_contamination_documents(spark, sf_dir):
     return benchmark_contamination(d, bench, hash_family="poly")
 
 
+def q_topk_ngrams_documents(spark, sf_dir):
+    """Corpus-level boilerplate mining: the 20 most frequent word bigrams
+    with occurrence counts (map-side-combined aggregation + global top-k,
+    never a full sort)."""
+    from powershap_spark.operators.text import topk_ngrams
+
+    d = _read(spark, sf_dir, "documents")
+    return topk_ngrams(d, n=2, k=20)
+
+
 def q_jsonl_ingest_docs(spark, sf_dir):
     """JSONL corpus ingest (explicit schema + PERMISSIVE corrupt-record
     policy) over the committed fixture shard; the query returns the CLEAN
@@ -792,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "contamination_documents": q_contamination_documents,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "topk_ngrams_documents": q_topk_ngrams_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1298,6 +1309,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(t, chunk_idx*32 + 1, chunk_idx*32 + 32), ' ')
                      AS chunk_text
             FROM c
+        """,
+        "topk_ngrams_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+              FROM documents
+            ), g AS (
+              SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)),
+                                      i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                     ELSE []::VARCHAR[] END) AS ngram
+              FROM tok
+            )
+            SELECT ngram, count(*) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 20
         """,
         "contamination_documents": """
             WITH tok AS (

@@ -19,6 +19,7 @@ __all__ = [
     "rolling_fingerprint",
     "repetition_ratios",
     "chunk_tokens",
+    "topk_ngrams",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -184,4 +185,41 @@ def chunk_tokens(
             F.size(piece).cast("int").alias("n_tokens"),
             F.array_join(piece, " ").alias("chunk_text"),
         )
+    )
+
+
+def topk_ngrams(
+    df,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+):
+    """Corpus-level n-gram frequency mining (boilerplate discovery /
+    contamination auditing): the k most frequent word n-grams across the
+    whole corpus with their occurrence counts. Returns
+    (ngram, n_occurrences) ordered by count desc, ngram asc (deterministic
+    tie-break).
+
+    Scale shape: explode -> ONE hash aggregation (map-side partial combine
+    collapses each partition's counts before the shuffle, so the exchange
+    carries at most |distinct n-grams per partition| rows, not corpus
+    tokens) -> global top-k via TakeOrderedAndProject (no full sort — each
+    partition keeps k rows, the driver merges k * n_partitions)."""
+    from pyspark.sql import functions as F
+
+    toks = _tokens(text_col)
+    win = F.size(toks) - (n - 1)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), win - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    )
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(int(k))
     )

@@ -605,3 +605,17 @@ def test_benchmark_contamination_families_agree(spark, docs):
     # with identical overlap counts (xxhash collisions are ~impossible here)
     assert list(a.doc_id) == list(b.doc_id)
     assert list(a.n_contaminated_shingles) == list(b.n_contaminated_shingles)
+
+
+def test_topk_ngrams(spark, docs):
+    from powershap_spark.operators.text import topk_ngrams
+
+    out = topk_ngrams(docs, n=2, k=5).toPandas()
+    assert len(out) == 5
+    # docs 0-3 all contain "again and" / "and again" -> those dominate;
+    # doc 0's text appears 3x (0, 1, 2 normalize-equal)
+    assert out.ngram.iloc[0] in ("again and", "and again", "the quick")
+    assert (out.n_occurrences.values == sorted(out.n_occurrences, reverse=True)).all()
+    # top-k must be a TakeOrdered, not a global sort
+    plan = topk_ngrams(docs, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
