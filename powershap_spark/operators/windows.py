@@ -289,6 +289,7 @@ def build_features(
     order: str = "turn_idx",
     ts: str = "ts",
     label_specs: list[FeatureSpec] | None = None,
+    ts_monotone: bool = False,
 ) -> DataFrame:
     """Materialize feature specs over the per-entity window.
 
@@ -297,21 +298,46 @@ def build_features(
     - ``label_specs``: label/target-position columns; leaky allowed.
 
     All specs share ONE window partitioning (entity), so Catalyst plans a
-    single shuffle+sort for the whole feature block.
-    """
+    single shuffle for the whole feature block.
+
+    ``ts_monotone=True`` asserts that ``ts`` is NON-DECREASING in ``order``
+    within each entity (true for transcript turns: timestamps advance with
+    turn index). Then the rows-frame windows are ordered by
+    ``(epoch(ts), order)`` — identical row order, since ties in ts resolve
+    by order — and the time-window's required sort ``(entity, epoch(ts))``
+    is a PREFIX of it, so Catalyst plans ONE sort for the whole block
+    instead of a second full-table sort just for the range frame
+    (measured: the second Sort is a full extra pass over 10^12 turns).
+    Default False: with out-of-order timestamps the two orderings differ
+    and each window must sort its own way."""
     for s in specs:
         if s.leaky:
             raise LeakageError(
                 f"spec {s.name!r} is future-looking; pass it via label_specs"
             )
-    w = entity_window(entity, order)
+    all_specs = list(specs) + list(label_specs or [])
+    needs_tw = any(s.needs_time_window for s in all_specs)
+    drop_after: list[str] = []
+    if ts_monotone and needs_tw:
+        # Materialize the epoch as a REAL column and order every window by
+        # that attribute: if each stage re-derived it as an expression,
+        # Catalyst's window extraction would project it into a fresh _wN
+        # attribute per stage and fail to recognize the orderings as equal,
+        # re-inserting the very Sort this path exists to remove (the
+        # sessionize window-over-window splits the block into two Window
+        # nodes, so ordering must propagate across them by attribute).
+        df = df.withColumn("__ep_ord", epoch_seconds(ts).cast("long"))
+        drop_after.append("__ep_ord")
+        w = Window.partitionBy(entity).orderBy(F.col("__ep_ord"), F.col(order))
+        tw = Window.partitionBy(entity).orderBy(F.col("__ep_ord"))
+    else:
+        w = entity_window(entity, order)
+        tw = (
+            Window.partitionBy(entity).orderBy(epoch_seconds(ts).cast("long"))
+            if needs_tw
+            else None
+        )
     cols: dict[str, Column] = {}
-    tw = None
-    for s in list(specs) + list(label_specs or []):
-        if s.needs_time_window:
-            if tw is None:
-                tw = Window.partitionBy(entity).orderBy(epoch_seconds(ts).cast("long"))
-            cols[s.name] = s.expr(tw)
-        else:
-            cols[s.name] = s.expr(w)
-    return df.withColumns(cols)
+    for s in all_specs:
+        cols[s.name] = s.expr(tw if s.needs_time_window else w)
+    return df.withColumns(cols).drop(*drop_after)

@@ -106,7 +106,12 @@ def turn_features(
             # running max replaces forward-filling the tool string
             rolling("has_tool", "max", None, -1, name="had_tool_past"),
         ]
-        out = build_features(t, specs, entity="conv_id", order="turn_idx", ts="ts")
+        # ts_monotone: transcript timestamps are cumulative non-negative
+        # gaps, i.e. non-decreasing in turn_idx — so the whole feature
+        # block (rows frames + the 600s range frame) plans ONE sort
+        out = build_features(
+            t, specs, entity="conv_id", order="turn_idx", ts="ts", ts_monotone=True
+        )
     # model-ready numeric projection (keys + features)
     return out.select(
         "conv_id",
@@ -171,8 +176,18 @@ def _turn_features_salted(
     )
 
     ep = epoch_seconds("ts")
-    w = Window.partitionBy("conv_id", "__chunk").orderBy("turn_idx")
-    wt = Window.partitionBy("conv_id", "__chunk").orderBy(ep.cast("long"))
+    # same single-sort trick as build_features(ts_monotone=True): ts is
+    # non-decreasing in turn_idx, so ordering the rows frames by
+    # (epoch, turn_idx) yields the identical row order while the range
+    # frame's required (conv, chunk, epoch) sort is a prefix of it — one
+    # Sort for the whole fused window pass instead of two. The epoch is a
+    # REAL column (not a per-window expression) so ordering propagates by
+    # attribute across the stacked Window nodes.
+    u = u.withColumn("__ep_ord", ep.cast("long"))
+    w = Window.partitionBy("conv_id", "__chunk").orderBy(
+        F.col("__ep_ord"), F.col("turn_idx")
+    )
+    wt = Window.partitionBy("conv_id", "__chunk").orderBy(F.col("__ep_ord"))
     gap = ep - F.lag(ep).over(w)
     is_new = ((gap > F.lit(float(tau_seconds))) | gap.isNull()).cast("int")
     real = F.col("__halo") == 0  # gate halo duplicates out of unbounded frames
@@ -248,7 +263,7 @@ def _turn_features_salted(
         )
         .drop(
             "__chunk", "__halo", "__is_new", "__w_cnt", "__w_ntok", "__w_sess",
-            "__w_tool", "__p_cnt", "__p_ntok", "__p_sess", "__p_tool",
+            "__w_tool", "__p_cnt", "__p_ntok", "__p_sess", "__p_tool", "__ep_ord",
         )
     )
     return out

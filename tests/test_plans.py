@@ -5,6 +5,9 @@ one exchange, and the small dimension side of an equi-join broadcasts."""
 import io
 from contextlib import redirect_stdout
 
+import numpy as np
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -198,3 +201,28 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = _plan(benchmark_contamination(d, bench))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_turn_features_single_sort_for_whole_window_block(spark):
+    """ts is monotone in turn_idx, so the rows frames order by
+    (epoch, turn_idx) and the 600s range frame's required sort is a prefix:
+    the ENTIRE feature block must plan exactly one Sort after its exchange
+    (a second full-table sort was a whole extra pass at 10^12 turns)."""
+    import re
+
+    from powershap_spark.pipeline import turn_features
+
+    t = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["a"] * 5,
+                "turn_idx": np.arange(5, dtype="int32"),
+                "ts": pd.date_range("2024-01-01", periods=5, freq="min"),
+                "text": ["x y"] * 5,
+                "tool": [None] * 5,
+            }
+        )
+    )
+    plan = _plan(turn_features(t, skew_safe=False))
+    assert len(re.findall(r"\+\- Sort \(", plan)) == 1, plan
+    assert len(re.findall(r"\+\- Exchange \(", plan)) == 1, plan
