@@ -65,8 +65,39 @@ def main():
     )
     sections.append(
         (
-            "minhash LSH dedup (banded bucket self-join, cached signatures)",
+            "minhash LSH dedup (ids-only band self-join, cached signatures)",
             plan_of(em.q_minhash_dedup_documents(spark, sf)),
+        )
+    )
+
+    # round-4 additions
+    from powershap_spark import synth
+    from powershap_spark.pipeline import turn_features
+
+    t = synth.transcripts(spark, n_conv=30, mean_turns=8)
+    sections.append(
+        (
+            "turn-features window block (ONE sort: rows frames ordered by "
+            "(epoch, turn_idx), range frame prefix-satisfied)",
+            plan_of(turn_features(t, skew_safe=False)),
+        )
+    )
+    sections.append(
+        (
+            "token chunking (pure JVM explode+slice, no shuffle)",
+            plan_of(em.q_chunk_tokens_documents(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "benchmark decontamination (broadcast benchmark shingle set)",
+            plan_of(em.q_contamination_documents(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "corpus top-k n-grams (map-side combine + TakeOrderedAndProject)",
+            plan_of(em.q_topk_ngrams_documents(spark, sf)),
         )
     )
 
