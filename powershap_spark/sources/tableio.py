@@ -60,3 +60,27 @@ class TableIO:
             df.writeTo(self._ident(name)).append()
         else:
             df.write.mode("append").parquet(self._ident(name))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key —
+    the co-located-join strategy for repeated big-big joins at scale: two
+    tables bucketed by the same key into the same bucket count join with
+    ZERO exchange (Spark matches bucket spec to the join's required
+    distribution), so the 100-TB shuffle is paid once at write time
+    instead of on every join. Requires a metastore table
+    (``saveAsTable``); plain parquet directories cannot carry bucket
+    metadata."""
+    w = df.write.mode("overwrite").bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

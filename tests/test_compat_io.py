@@ -132,3 +132,36 @@ def test_read_jsonl_corrupt_record_policy(spark):
 
     with pytest.raises(ValueError):
         read_jsonl(spark, path, mode="bogus")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count must
+    sort-merge join with ZERO Exchange — the write-once-shuffle-never
+    co-location contract for repeated big-big joins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from powershap_spark.sources.tableio import write_bucketed
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(1000) % 97, "va": np.arange(1000)})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(500) % 97, "vb": np.arange(500)})
+    )
+    write_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"],
+                   path=str(tmp_path / "bk_a"))
+    write_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"],
+                   path=str(tmp_path / "bk_b"))
+    try:
+        ta, tb = spark.table("bk_a"), spark.table("bk_b")
+        j = ta.join(tb.hint("merge"), "k")
+        n = j.count()
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
