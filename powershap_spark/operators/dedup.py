@@ -454,6 +454,15 @@ def connected_components(
     the job (acceptable for this sandbox's single JVM; set a checkpoint
     dir for production runs).
 
+    Reliable-checkpoint storage caveat: Spark does NOT delete reliable
+    checkpoint files by default — each round writes one labels-table copy
+    under the checkpoint dir and they outlive the job unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (then
+    superseded rounds are removed as their DataFrames are GC'd; the FINAL
+    round's files must outlive this call regardless, because the returned
+    frame reads from them). Long-lived sessions running dedup repeatedly
+    should set that conf or point the checkpoint dir at a TTL'd path.
+
     Scale shape: never materializes components on the driver; the only
     per-round action is the convergence count. For graphs with genuinely
     long chains raise ``max_iter`` (rounds, not data, are the cost)."""
@@ -489,8 +498,10 @@ def connected_components(
         )
         # one update join per round; the convergence flag rides the same
         # pass (a __chg column on the checkpointed result) instead of a
-        # third labels-join. Superseded checkpoint blocks are released by
-        # Spark's ContextCleaner once the old DataFrame reference drops.
+        # third labels-join. Superseded localCheckpoint blocks are released
+        # by Spark's ContextCleaner once the old DataFrame reference drops;
+        # reliable checkpoint files need cleanCheckpoints=true (see
+        # docstring caveat).
         nc = F.coalesce(F.col("nbr_comp"), F.col("comp"))
         new = _ckpt(
             labels.join(nbr_min, "id", "left")

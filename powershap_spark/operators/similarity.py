@@ -339,7 +339,15 @@ def embedding_cosine_dedup(
     O((N/16)^2): narrow buckets now come from n_planes (keep
     2^n_planes >= N / target_bucket_rows) and recall from n_bands, and the
     band self-join shuffles ids only — the vectors rejoin after pair
-    dedup."""
+    dedup.
+
+    The input is consumed by FOUR subtrees (band explode, two vector
+    re-joins, the final left-anti), so it is tracked-persisted here —
+    same discipline as minhash_dedup's signature table; release via the
+    caller's ``caching.tracking_scope`` or ``caching.release_tracked()``."""
+    from ..caching import tracked_persist
+
+    embeddings = tracked_persist(embeddings)
     pairs = cosine_candidate_pairs(
         embeddings,
         n_planes=n_planes,

@@ -36,6 +36,20 @@ def _tokens(col) -> "F.Column":
     )
 
 
+def _word_ngrams(toks, n: int):
+    """Word n-gram array from a token array: empty for docs with < n
+    tokens. Shared by repetition_ratios and topk_ngrams (keep in sync with
+    the DuckDB oracle mirrors in __spark_entry__.py)."""
+    win = F.size(toks) - (n - 1)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), win - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(col) -> "F.Column":
     """Whitespace token count."""
     return F.size(_tokens(col)).cast("int")
@@ -138,17 +152,9 @@ def repetition_ratios(col, n: int = 2) -> dict:
             .cast("double")
         )
 
-    win = n_tok - (n - 1)
-    grams = F.when(
-        n_tok >= n,
-        F.transform(
-            F.sequence(F.lit(0), win - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return {
         "dup_token_ratio": dup_ratio(toks),
-        f"dup_{n}gram_ratio": dup_ratio(grams),
+        f"dup_{n}gram_ratio": dup_ratio(_word_ngrams(toks, n)),
     }
 
 
@@ -164,8 +170,6 @@ def chunk_tokens(
     a pure JVM ``explode(sequence(...))`` over ceil(n/max_tokens) chunk
     indices + an array slice per row; empty documents yield zero rows
     (explode drops the null sequence). No Python, no shuffle."""
-    from pyspark.sql import functions as F
-
     toks = _tokens(text_col)
     k = int(max_tokens)
     n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
@@ -205,18 +209,8 @@ def topk_ngrams(
     carries at most |distinct n-grams per partition| rows, not corpus
     tokens) -> global top-k via TakeOrderedAndProject (no full sort — each
     partition keeps k rows, the driver merges k * n_partitions)."""
-    from pyspark.sql import functions as F
-
     toks = _tokens(text_col)
-    win = F.size(toks) - (n - 1)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), win - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    )
-    exploded = df.select(F.explode(grams).alias("ngram"))
+    exploded = df.select(F.explode(_word_ngrams(toks, n)).alias("ngram"))
     return (
         exploded.groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))

@@ -70,10 +70,16 @@ def corrupt_stats(df: DataFrame) -> DataFrame:
     corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
     if _CORRUPT not in df.columns:
         raise ValueError("corrupt_stats needs a permissive read_jsonl frame")
+    # n_parsed counts corrupt-free rows, NOT rows with a non-null first
+    # field: under partial-results parsing (spark.sql.json.enablePartialResults,
+    # default on since 3.4) a corrupt line can still populate some typed
+    # columns, and n_parsed + n_corrupt must equal n_lines. The typed-column
+    # reference in the count below also satisfies Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
     first_typed = next(c for c in df.columns if c != _CORRUPT)
     return df.agg(
         F.count("*").alias("n_lines"),
-        F.count(F.col(first_typed)).alias("n_parsed"),
+        F.count(F.when(F.col(_CORRUPT).isNull(), F.coalesce(F.col(first_typed), F.lit(1)))).alias("n_parsed"),
         F.sum(F.col(_CORRUPT).isNotNull().cast("long")).alias("n_corrupt"),
         (
             F.sum(F.col(_CORRUPT).isNotNull().cast("int"))

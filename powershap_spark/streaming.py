@@ -269,15 +269,20 @@ def streaming_exact_dedup(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        seen = state.exists
-        for pdf in pdfs:
-            if seen or len(pdf) == 0:
-                continue
-            first = pdf.sort_values("doc_id", kind="mergesort").iloc[:1]
-            yield first[["doc_id", "text"]]
-            seen = True
-        if seen and not state.exists:
+        # A large group arrives as MULTIPLE Arrow chunks within one batch
+        # (arrow.maxRecordsPerBatch); the min-id tie-break must consider
+        # them ALL before emitting, so drain first, emit once.
+        best = None
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                cand = pdf.sort_values("doc_id", kind="mergesort").iloc[:1]
+                if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                    best = cand
+        if best is not None:
             state.update((1,))
+            yield best[["doc_id", "text"]]
 
     return keyed.groupBy("__h").applyInPandasWithState(
         fn,

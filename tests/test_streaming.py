@@ -178,3 +178,30 @@ def test_streaming_exact_dedup(spark, tmp_path):
     run_stream_to_table(out, "stream_dedup_out", str(tmp_path / "ckpt_dedup"))
     got = spark.sql("select * from stream_dedup_out").toPandas()
     assert sorted(got.doc_id) == [0, 2, 4]
+
+
+def test_streaming_exact_dedup_min_id_across_arrow_chunks(spark, tmp_path):
+    """The min-doc_id tie-break must hold when one group spans MULTIPLE
+    Arrow chunks within a microbatch (arrow.maxRecordsPerBatch) — the
+    operator drains all chunks before emitting."""
+    from powershap_spark.streaming import run_stream_to_table, streaming_exact_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # one group of 9 rows; min id (2) deliberately NOT first
+    b = pd.DataFrame({"doc_id": [5, 9, 7, 8, 6, 2, 4, 3, 10], "text": ["same doc"] * 9})
+    src = str(tmp_path / "chunk_src")
+    spark.createDataFrame(b, schema=schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_exact_dedup(stream)
+        run_stream_to_table(out, "stream_dedup_chunked", str(tmp_path / "ckpt_c"))
+        got = spark.sql("select * from stream_dedup_chunked").toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert list(got.doc_id) == [2]
