@@ -401,6 +401,37 @@ def q_contamination_documents(spark, sf_dir):
     return benchmark_contamination(d, bench, hash_family="poly")
 
 
+def _inject_url_expr():
+    """Deterministic messy-URL construction shared (in spirit) with the
+    DuckDB oracle: mixed-case scheme/host, default ports, trailing
+    slashes, tracking params, fragments — keyed off doc_id."""
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")
+    return F.concat(
+        F.lit("HTTP://ExAmple"), s(F.pmod(d, F.lit(10))), F.lit(".COM"),
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/path"), s(F.pmod(d, F.lit(7))),
+        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.pmod(d, F.lit(2)) == 0,
+            F.concat(F.lit("?utm_source=abc&q="), s(d)),
+        ).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(5)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonicalize_documents(spark, sf_dir):
+    """Web-corpus URL canonicalization over deterministically injected
+    messy URLs; the DuckDB oracle applies the SAME rewrite-chain literals
+    (URL_CANON_STEPS, $N translated to RE2 backrefs)."""
+    from powershap_spark.operators.scrub import canonicalize_url
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _inject_url_expr().alias("url")
+    )
+    return d.select("doc_id", "url", canonicalize_url("url").alias("canonical_url"))
+
+
 def q_topk_ngrams_documents(spark, sf_dir):
     """Corpus-level boilerplate mining: the 20 most frequent word bigrams
     with occurrence counts (map-side-combined aggregation + global top-k,
@@ -802,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "contamination_documents": q_contamination_documents,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "url_canonicalize_documents": q_url_canonicalize_documents,
         "topk_ngrams_documents": q_topk_ngrams_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
@@ -1055,6 +1087,31 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+def _url_canonicalize_oracle_sql() -> str:
+    """Mirrors q_url_canonicalize_documents: identical injection, then the
+    SAME rewrite-chain literals (URL_SCHEME_HOST + URL_CANON_STEPS) with
+    Java's $N group references translated to RE2's \\N."""
+    from powershap_spark.operators.scrub import URL_CANON_STEPS, URL_SCHEME_HOST
+
+    inject = """('HTTP://ExAmple' || (doc_id % 10) || '.COM'
+        || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+        || '/path' || (doc_id % 7)
+        || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=abc&q=' || doc_id ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+    canon = (
+        f"lower(regexp_extract(url, '{URL_SCHEME_HOST}', 1))"
+        f" || regexp_replace(url, '{URL_SCHEME_HOST}', '', 'g')"
+    )
+    for pat, repl in URL_CANON_STEPS:
+        re2_repl = repl.replace("$", "\\")
+        canon = f"regexp_replace({canon}, '{pat}', '{re2_repl}', 'g')"
+    return f"""
+        WITH x AS (SELECT doc_id, {inject} AS url FROM documents)
+        SELECT doc_id, url, {canon} AS canonical_url FROM x
+    """
+
+
 def _embedding_cosine_dedup_oracle_sql() -> str:
     # mirrors q_embedding_cosine_dedup: 4 bands x 8 planes, band b seeded 5+b
     N_PLANES, N_BANDS, SEED, THR = 8, 4, 5, 0.9
@@ -1259,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub_documents": _pii_scrub_oracle_sql(),
+        "url_canonicalize_documents": _url_canonicalize_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
             FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',

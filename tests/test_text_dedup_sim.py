@@ -619,3 +619,27 @@ def test_topk_ngrams(spark, docs):
     # top-k must be a TakeOrdered, not a global sort
     plan = topk_ngrams(docs, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_canonicalize_url_goldens(spark):
+    from powershap_spark.operators.scrub import canonicalize_url
+
+    cases = [
+        ("HTTPS://ExAmple.COM:443/Path/?utm_source=x&q=1#frag", "https://example.com/Path?q=1"),
+        ("http://a.com:80/", "http://a.com/"),
+        ("http://a.com/x/", "http://a.com/x"),
+        ("http://a.com/x?utm_campaign=z", "http://a.com/x"),
+        ("http://a.com/x?a=1&fbclid=abc&b=2", "http://a.com/x?a=1&b=2"),
+        ("no-scheme/just/path", "no-scheme/just/path"),
+        ("http://A.com", "http://a.com"),
+        ("http://a.com/p/?fbclid=1", "http://a.com/p"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+    ]
+    pdf = pd.DataFrame({"url": [c[0] for c in cases]})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(canonicalize_url("url").alias("c"))
+        .toPandas()
+        .c.tolist()
+    )
+    assert got == [c[1] for c in cases]
