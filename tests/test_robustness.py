@@ -88,3 +88,38 @@ def test_impute_nonfinite_train_means_only():
     # all-non-finite column -> 0.0
     it2, iv2 = impute_nonfinite(np.array([[np.nan], [np.inf]]), np.array([[np.nan]]))
     assert (it2 == 0).all() and (iv2 == 0).all()
+
+
+def test_text_pipeline_operators_on_empty_corpus(spark):
+    """Every corpus-curation operator must handle a 0-row documents table
+    (a filtered-out partition at scale) without crashing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from powershap_spark.operators.dedup import (
+        benchmark_contamination,
+        exact_dedup,
+        minhash_dedup,
+    )
+    from powershap_spark.operators.scrub import canonicalize_url, scrub_pii
+    from powershap_spark.operators.text import (
+        chunk_tokens,
+        repetition_ratios,
+        topk_ngrams,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema=schema)
+
+    assert exact_dedup(empty, "text", "doc_id").count() == 0
+    assert minhash_dedup(empty, "text", "doc_id", num_hashes=8, bands=2).count() == 0
+    assert scrub_pii(empty).count() == 0
+    assert empty.select(canonicalize_url("text")).count() == 0
+    assert chunk_tokens(empty, max_tokens=8).count() == 0
+    assert topk_ngrams(empty, n=2, k=5).count() == 0
+    r = repetition_ratios("text")
+    assert empty.select(*[v.alias(k) for k, v in r.items()]).count() == 0
+    assert benchmark_contamination(empty, empty).count() == 0
