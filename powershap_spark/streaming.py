@@ -42,6 +42,7 @@ __all__ = [
     "streaming_turn_features",
     "run_stream_to_table",
     "streaming_exact_dedup",
+    "streaming_point_in_time_join",
 ]
 
 TRANSCRIPT_SCHEMA = StructType(
@@ -288,6 +289,115 @@ def streaming_exact_dedup(
         fn,
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PIT_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("label", DoubleType()),
+        StructField("feature_ts", TimestampType()),
+        StructField("fvalue", DoubleType()),
+    ]
+)
+
+# latest feature seen per conversation; ts kept as int64 NANOSECONDS —
+# float seconds cannot represent a modern ns epoch exactly (> 2^53)
+_PIT_STATE = StructType(
+    [
+        StructField("last_fts", LongType()),
+        StructField("last_fval", DoubleType()),
+    ]
+)
+
+
+def streaming_point_in_time_join(
+    features: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Online point-in-time join — the streaming counterpart of the batch
+    ``asof_join`` (backward, inclusive): each probe (conv_id, ts, label)
+    is matched with the latest feature row (conv_id, ts, fvalue) whose
+    ts <= probe.ts, as known AT ARRIVAL TIME. State per conversation is
+    one row: the latest feature (ts, value) — the online-feature-store
+    'last value' register.
+
+    Semantics vs batch: identical when the interleaved stream is delivered
+    in event-time order (parity-tested across microbatch slicings, exactly
+    like streaming_turn_features). A feature arriving AFTER a probe it
+    should have matched cannot retroactively re-emit that probe — that is
+    the inherent online-serving contract, not a bug; re-run the batch
+    as-of join for backfills.
+
+    Implementation: tag + union the two streams, group by conv_id, fold
+    each microbatch vectorized — sort by (ts, side) with features first on
+    ties (inclusive as-of), np.searchsorted probes into the carried+batch
+    feature timeline. No per-row Python."""
+    f = features.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.lit(0).alias("__side"),
+        F.col("fvalue").cast("double").alias("fvalue"),
+        F.lit(None).cast("double").alias("label"),
+    )
+    p = probes.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("fvalue"),
+        F.col("label").cast("double").alias("label"),
+    )
+    u = f.unionByName(p)
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        last_fts, last_fval = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "__side"], kind="mergesort")
+            ep = pdf["ts"].astype("int64").to_numpy()  # ns, exact
+            side = pdf["__side"].to_numpy()
+            f_ts = ep[side == 0]
+            f_val = pdf["fvalue"].to_numpy()[side == 0]
+            if last_fts is not None:
+                f_ts = np.concatenate(([last_fts], f_ts))
+                f_val = np.concatenate(([last_fval], f_val))
+            pm = side == 1
+            if pm.any():
+                p_ts = ep[pm]
+                idx = np.searchsorted(f_ts, p_ts, side="right") - 1
+                ok = idx >= 0
+                fts = pd.to_datetime(
+                    pd.Series(f_ts[np.maximum(idx, 0)]), unit="ns"
+                ).where(pd.Series(ok))
+                fv = np.where(ok, f_val[np.maximum(idx, 0)], np.nan)
+                out = pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"].to_numpy()[pm],
+                        "ts": pdf["ts"].to_numpy()[pm],
+                        "label": pdf["label"].to_numpy()[pm],
+                        "feature_ts": fts.to_numpy(),
+                        "fvalue": fv,
+                    }
+                )
+                yield out
+            if len(f_ts):
+                last_fts, last_fval = int(f_ts[-1]), float(f_val[-1])
+        if last_fts is not None:
+            state.update((last_fts, last_fval))
+
+    return u.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_PIT_OUT,
+        stateStructType=_PIT_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -205,3 +205,97 @@ def test_streaming_exact_dedup_min_id_across_arrow_chunks(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert list(got.doc_id) == [2]
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_streaming_pit_join_matches_batch_asof(spark, tmp_path, n_batches):
+    """Online point-in-time join == batch asof_join (backward, inclusive)
+    when the interleaved stream arrives in event-time order, across
+    microbatch slicings (state carries the last feature)."""
+    from powershap_spark.operators.asof import asof_join
+    from powershap_spark.streaming import (
+        run_stream_to_table,
+        streaming_point_in_time_join,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-03-01")
+    rows_f, rows_p = [], []
+    for conv in ["c1", "c2", "c3"]:
+        t = 0.0
+        for i in range(30):
+            t += float(rng.randint(1, 500))
+            rows_f.append((conv, base + pd.Timedelta(seconds=t), float(rng.rand())))
+            if rng.rand() < 0.5:
+                pt = t + float(rng.randint(0, 300))
+                rows_p.append(
+                    (conv, base + pd.Timedelta(seconds=pt), float(rng.randint(0, 2)))
+                )
+    # one probe before any feature of its conversation (no-match case)
+    rows_p.append(("c1", base - pd.Timedelta(seconds=5), 1.0))
+    fpdf = pd.DataFrame(rows_f, columns=["conv_id", "ts", "fvalue"])
+    ppdf = pd.DataFrame(rows_p, columns=["conv_id", "ts", "label"])
+
+    fschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("fvalue", DoubleType()),
+        ]
+    )
+    pschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("label", DoubleType()),
+        ]
+    )
+    fsrc, psrc = str(tmp_path / "pit_f"), str(tmp_path / "pit_p")
+    # event-time-ordered slicing: batch k holds the rows in the k-th global
+    # time range, so features always arrive no later than the probes that
+    # need them (the online == batch precondition)
+    all_ts = sorted(pd.concat([fpdf.ts, ppdf.ts]))
+    cuts = [all_ts[len(all_ts) * (i + 1) // n_batches - 1] for i in range(n_batches)]
+    lo = pd.Timestamp.min
+    for hi in cuts:
+        spark.createDataFrame(
+            fpdf[(fpdf.ts > lo) & (fpdf.ts <= hi)], schema=fschema
+        ).coalesce(1).write.mode("append").parquet(fsrc)
+        spark.createDataFrame(
+            ppdf[(ppdf.ts > lo) & (ppdf.ts <= hi)], schema=pschema
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        lo = hi
+        time.sleep(1.1)
+
+    fstream = spark.readStream.schema(fschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(fsrc)
+    pstream = spark.readStream.schema(pschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(psrc)
+    out = streaming_point_in_time_join(fstream, pstream)
+    run_stream_to_table(out, f"pit_out_{n_batches}", str(tmp_path / "ckpt_pit"))
+    got = spark.sql(f"select * from pit_out_{n_batches}").toPandas()
+
+    exp = asof_join(
+        spark.createDataFrame(ppdf, schema=pschema),
+        spark.createDataFrame(fpdf, schema=fschema),
+        on="conv_id",
+        ts="ts",
+        direction="backward",
+        allow_exact_matches=True,
+        matched_ts_col="feature_ts",
+    ).toPandas()
+
+    key = ["conv_id", "ts", "label"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)[g.columns]
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
