@@ -243,7 +243,10 @@ _DEDUP_STATE = StructType([StructField("seen", IntegerType())])
 
 
 def streaming_exact_dedup(
-    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming exact deduplication for a continuous document feed: key
     the stream by the 64-bit hash of the normalized text (the same
@@ -256,7 +259,17 @@ def streaming_exact_dedup(
     Scale shape: state is one int per DISTINCT document ever seen, sharded
     by the state-store partitioning; the arriving batch is shuffled once
     on the text hash. This is the ingest-time companion to the batch
-    dedup family: dedup-on-arrival instead of dedup-by-rescan."""
+    dedup family: dedup-on-arrival instead of dedup-by-rescan.
+
+    ``state_ttl_minutes`` bounds the state store on an endless feed
+    (processing-time timeout: a text's seen-flag expires after that long
+    without re-arrival). The documented tradeoff: a duplicate arriving
+    AFTER its flag expired is re-emitted — size the TTL to the dedup
+    horizon the pipeline actually needs; None (default) keeps state
+    forever. CONTINUOUS queries only: a processing-time timeout keeps
+    scheduling batches to service future expiries, so a
+    ``trigger(availableNow=True)`` drain never terminates with a TTL set —
+    use None for bounded drains (measured, not hypothetical)."""
     from .operators.dedup import normalize_text
 
     keyed = stream.select(
@@ -265,11 +278,16 @@ def streaming_exact_dedup(
         F.xxhash64(normalize_text(text_col)).alias("__h"),
     )
 
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+
     def fn(
         key: Tuple[int],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # expired seen-flag: free the state-store row
+            return
         # A large group arrives as MULTIPLE Arrow chunks within one batch
         # (arrow.maxRecordsPerBatch); the min-id tie-break must consider
         # them ALL before emitting, so drain first, emit once.
@@ -283,6 +301,10 @@ def streaming_exact_dedup(
                     best = cand
         if best is not None:
             state.update((1,))
+        if ttl_ms and (state.exists or best is not None):
+            # must be re-armed every invocation (Spark clears it)
+            state.setTimeoutDuration(ttl_ms)
+        if best is not None:
             yield best[["doc_id", "text"]]
 
     return keyed.groupBy("__h").applyInPandasWithState(
@@ -290,7 +312,11 @@ def streaming_exact_dedup(
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -299,3 +299,53 @@ def test_streaming_pit_join_matches_batch_asof(spark, tmp_path, n_batches):
     e = exp.sort_values(key).reset_index(drop=True)[g.columns]
     assert len(g) == len(e)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_streaming_exact_dedup_ttl_expires_state(spark, tmp_path):
+    """TTL semantics on a CONTINUOUS query (availableNow never terminates
+    with a processing-time timeout — documented): within the TTL a
+    duplicate is suppressed; after the seen-flag expires the same text is
+    re-emitted (the documented dedup-horizon tradeoff)."""
+    from powershap_spark.streaming import streaming_exact_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "ttl_src")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["aa bb", "aa bb"]}), schema=schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_exact_dedup(stream, state_ttl_minutes=0.03)  # ~2 s
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def rows():
+            return spark.sql(
+                "select doc_id from stream_dedup_ttl order by doc_id"
+            ).toPandas()
+
+        deadline = time.time() + 60
+        while len(rows()) < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        assert list(rows().doc_id) == [0]  # in-batch dup suppressed
+
+        time.sleep(4)  # let the 2 s TTL expire (empty batches fire it)
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "text": ["aa bb"]}), schema=schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        while len(rows()) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        # expired flag -> the post-TTL duplicate is re-emitted
+        assert list(rows().doc_id) == [0, 9]
+    finally:
+        q.stop()
