@@ -584,3 +584,125 @@ def explain_iteration(
             "n_val_rows": np.int64(len(val_idx)),
         }
     )
+
+
+@dataclass
+class GradientBoostedStumpsModel:
+    """Vendored gradient-boosted depth-1 trees (stumps) with EXACT additive
+    interventional SHAP — the nonlinear model option the sandbox's missing
+    catboost/lightgbm would otherwise provide. A linear model's SHAP cannot
+    surface non-monotone signal (e.g. y depends on |x|: the fitted
+    coefficient is ~0, powershap never selects the feature); stumps split
+    on thresholds, so symmetric/thresholded effects carry |SHAP| mass.
+
+    Exactness: the ensemble is additive over stumps and each stump reads
+    ONE feature, so interventional Shapley values decompose per stump with
+    no approximation: phi_j(x) = sum over stumps s on feature j of
+    (leaf_s(x) - mean(leaf_s over X_train)). No shap library needed.
+
+    Fit is least-squares gradient boosting (classification targets are
+    class codes / one-vs-rest indicators — LS-boost on indicators, the
+    'gentle boost' form, is sufficient for selection statistics). All
+    numpy, deterministic (quantile threshold grid, first-argmin
+    tie-break). Plugs into the engine through the custom-kernel seam
+    (``fit_get_shap``), like any user model (kernel.py resolve_kernel)."""
+
+    n_stumps: int = 64
+    learning_rate: float = 0.3
+    n_thresholds: int = 15
+    base_: float = 0.0
+    stumps_: list | None = None  # per output: list of (j, thr, lval, rval)
+    classes_: np.ndarray | None = None
+
+    def _fit_one(self, X: np.ndarray, y: np.ndarray) -> list:
+        n, d = X.shape
+        qs = np.linspace(0.0, 1.0, self.n_thresholds + 2)[1:-1]
+        thr = np.quantile(X, qs, axis=0)  # (n_thr, d)
+        r = y - y.mean()
+        stumps = []
+        for _ in range(self.n_stumps):
+            best = (np.inf, -1, 0.0)
+            rsum = r.sum()
+            for j in range(d):
+                L = X[:, j][:, None] <= thr[:, j][None, :]  # (n, n_thr)
+                nl = L.sum(axis=0)
+                nr = n - nl
+                sl = (r[:, None] * L).sum(axis=0)
+                sr = rsum - sl
+                score = -(
+                    sl**2 / np.maximum(nl, 1) + sr**2 / np.maximum(nr, 1)
+                )
+                score[(nl == 0) | (nr == 0)] = np.inf
+                k = int(np.argmin(score))
+                if score[k] < best[0]:
+                    best = (float(score[k]), j, float(thr[k, j]))
+            if best[1] < 0:  # no valid split anywhere (constant features)
+                break
+            j, t = best[1], best[2]
+            left = X[:, j] <= t
+            lv = float(r[left].mean()) * self.learning_rate
+            rv = float(r[~left].mean()) * self.learning_rate
+            pred = np.where(left, lv, rv)
+            r = r - pred
+            if abs(lv) < 1e-12 and abs(rv) < 1e-12:
+                break  # residual exhausted
+            stumps.append((j, t, lv, rv))
+        return stumps
+
+    def fit(self, X, y, random_seed: int = 0):
+        X = np.asarray(X, dtype=np.float64)
+        y_raw = np.asarray(y)
+        is_regr = np.issubdtype(y_raw.dtype, np.number) and not np.issubdtype(
+            y_raw.dtype, np.integer
+        )
+        if is_regr:
+            yy = y_raw.astype(np.float64)
+            self.base_ = float(yy.mean())
+            self.stumps_ = [self._fit_one(X, yy)]
+            self.classes_ = None
+            return self
+        self.classes_ = np.unique(y_raw)
+        if len(self.classes_) <= 2:
+            yy = (y_raw == self.classes_[-1]).astype(np.float64)
+            self.base_ = float(yy.mean())
+            self.stumps_ = [self._fit_one(X, yy)]
+        else:  # one-vs-rest: per-class stump ensembles -> 3-D SHAP
+            self.stumps_ = [
+                self._fit_one(X, (y_raw == c).astype(np.float64))
+                for c in self.classes_
+            ]
+        return self
+
+    @staticmethod
+    def _shap_one(stumps, X_train, X_val):
+        phi = np.zeros((len(X_val), X_train.shape[1]), dtype=np.float64)
+        for j, t, lv, rv in stumps:
+            c_val = np.where(X_val[:, j] <= t, lv, rv)
+            c_bg = np.where(X_train[:, j] <= t, lv, rv).mean()
+            phi[:, j] += c_val - c_bg
+        return phi
+
+    def shap_values(self, X_train, X_val) -> np.ndarray:
+        """(n_val, m) for regression/binary; (n_val, m, k) for OvR."""
+        X_train = np.asarray(X_train, dtype=np.float64)
+        X_val = np.asarray(X_val, dtype=np.float64)
+        outs = [self._shap_one(s, X_train, X_val) for s in self.stumps_]
+        if len(outs) == 1:
+            return outs[0]
+        return np.stack(outs, axis=-1)
+
+    def fit_get_shap(
+        self, X_train, Y_train, X_val, Y_val, random_seed: int = 0, model=None, **kw
+    ) -> np.ndarray:
+        # fresh copy per iteration (clone() semantics, like the registry)
+        m = GradientBoostedStumpsModel(
+            n_stumps=self.n_stumps,
+            learning_rate=self.learning_rate,
+            n_thresholds=self.n_thresholds,
+        )
+        X_train, X_val = impute_nonfinite(
+            np.asarray(X_train, dtype=np.float64),
+            np.asarray(X_val, dtype=np.float64),
+        )
+        m.fit(X_train, Y_train, random_seed=random_seed)
+        return m.shap_values(X_train, X_val)

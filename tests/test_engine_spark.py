@@ -180,3 +180,33 @@ def test_single_class_block_warns_driver_side(spark, clf_xy):
     with pytest.warns(UserWarning, match="all-zero"):
         sel.fit(sdf, label_col="label", feature_cols=list(X.columns))
     assert sel.selected_features_ == []
+
+
+def test_gb_stumps_model_on_spark_path(spark):
+    """The stumps model (custom fit_get_shap kernel) must serialize into
+    the applyInPandas closure and select the non-monotone feature that
+    the default linear kernel cannot see."""
+    from powershap_spark.kernel import GradientBoostedStumpsModel
+
+    rng = np.random.RandomState(5)
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "sym": rng.randn(n),
+            "noise_a": rng.randn(n),
+            "noise_b": rng.randn(n),
+        }
+    )
+    pdf["label"] = (np.abs(pdf["sym"]) > 1.0).astype(np.int64)
+    pdf["row_id"] = np.arange(n, dtype=np.int64)
+    sdf = spark.createDataFrame(pdf)
+    sel = PowerShapSelector(
+        power_iterations=6,
+        model=GradientBoostedStumpsModel(n_stumps=30),
+        n_parts=2,
+        part_by="row_id",
+        sort_cols=["row_id"],
+    ).fit(sdf, label_col="label", feature_cols=["sym", "noise_a", "noise_b"])
+    assert "sym" in sel.selected_features_
+    imp = sel._processed_shaps_df.impact.abs()
+    assert imp["sym"] > 10 * max(imp["noise_a"], imp["noise_b"])

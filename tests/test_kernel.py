@@ -175,3 +175,62 @@ def test_five_class_warning_gates_on_integer_dtype():
     with _w.catch_warnings():
         _w.simplefilter("error")
         _VendoredLinearKernel.fit_get_shap(X, y, X[:50], y[:50], random_seed=0)
+
+
+def test_gb_stumps_shap_is_exact_additive():
+    """The stump ensemble is additive with one feature per stump, so
+    interventional SHAP must satisfy local accuracy EXACTLY:
+    sum_j phi_j(x) = f(x) - mean(f(X_train))."""
+    from powershap_spark.kernel import GradientBoostedStumpsModel
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(400, 5)
+    y = np.where(np.abs(X[:, 0]) > 1.0, 2.0, -1.0) + 0.1 * rng.randn(400)
+    m = GradientBoostedStumpsModel(n_stumps=40).fit(X, y)
+
+    def predict(Z):
+        out = np.full(len(Z), m.base_)
+        for j, t, lv, rv in m.stumps_[0]:
+            out += np.where(Z[:, j] <= t, lv, rv)
+        return out
+
+    Xv = rng.randn(50, 5)
+    phi = m.shap_values(X, Xv)
+    np.testing.assert_allclose(
+        phi.sum(axis=1), predict(Xv) - predict(X).mean(), atol=1e-10
+    )
+
+
+def test_gb_stumps_select_nonmonotone_feature_linear_misses():
+    """The capability the stumps model adds: y depends on |x0| (symmetric,
+    non-monotone) — the vendored logistic's coefficient for x0 is ~0 so
+    linear SHAP carries no mass, while stumps split at the thresholds and
+    select it."""
+    from powershap_spark.engine import PowerShapSelector
+    from powershap_spark.kernel import GradientBoostedStumpsModel
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    X = pd.DataFrame(
+        {
+            "sym": rng.randn(n),          # informative, NON-monotone
+            "noise_a": rng.randn(n),
+            "noise_b": rng.randn(n),
+        }
+    )
+    y = ((np.abs(X["sym"]) > 1.0)).astype(np.int64).to_numpy()
+
+    stumps_sel = PowerShapSelector(
+        power_iterations=8, model=GradientBoostedStumpsModel(n_stumps=40)
+    ).fit(X, y)
+    assert "sym" in stumps_sel.selected_features_
+    s_imp = stumps_sel._processed_shaps_df.impact.abs()
+    # stumps put DOMINANT |SHAP| mass on the symmetric feature (~100x)...
+    assert s_imp["sym"] > 20 * max(s_imp["noise_a"], s_imp["noise_b"])
+
+    # ...while the linear model's mass on it is noise-order (coef ~ 0).
+    # The selection verdict itself can flicker with finite samples, so the
+    # blind spot is asserted on the impact RATIO, not the selected set.
+    linear_sel = PowerShapSelector(power_iterations=8).fit(X, y)
+    l_imp = linear_sel._processed_shaps_df.impact.abs()
+    assert l_imp["sym"] < 5 * max(l_imp["noise_a"], l_imp["noise_b"])
