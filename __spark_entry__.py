@@ -657,6 +657,41 @@ def q_powershap_selection(spark, sf_dir):
     )
 
 
+def _stumps_selection_pdf():
+    """Deterministic nonlinear selection run (numpy only): the stumps
+    kernel on a |x|-threshold signal the linear kernel cannot see."""
+    import numpy as np
+    import pandas as pd
+
+    from powershap_spark.engine import PowerShapSelector
+    from powershap_spark.kernel import GradientBoostedStumpsModel
+
+    rng = np.random.RandomState(7)
+    n = 1000
+    X = pd.DataFrame(
+        {
+            "sym": rng.randn(n),
+            "noise_a": rng.randn(n),
+            "noise_b": rng.randn(n),
+        }
+    )
+    y = (np.abs(X["sym"]) > 1.0).astype(np.int64).to_numpy()
+    sel = PowerShapSelector(
+        power_iterations=5, model=GradientBoostedStumpsModel(n_stumps=30)
+    ).fit(X, y)
+    out = sel._processed_shaps_df[["impact", "p_value"]].round(6).reset_index()
+    out.columns = ["feature", "impact", "p_value"]
+    return out.sort_values("feature").reset_index(drop=True)
+
+
+def q_stumps_selection(spark, sf_dir):
+    """Nonlinear (gradient-boosted stumps) powershap selection with an
+    expected-output value oracle: the run is bit-deterministic (seeded
+    probes, vendored numpy boosting), so its impact/p_value table must
+    reproduce the committed fixture exactly."""
+    return spark.createDataFrame(_stumps_selection_pdf())
+
+
 def q_image_features_fake(spark, sf_dir):
     """Image feature extraction (deterministic fake decoder) over the
     committed media fixture. The numpy RandomState decode is not
@@ -845,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "transcript_features": q_transcript_features,
         "powershap_selection": q_powershap_selection,
+        "stumps_selection": q_stumps_selection,
         "image_features_fake": q_image_features_fake,
         "image_resize_fake": q_image_resize_fake,
         "audio_features_fake": q_audio_features_fake,
@@ -1488,6 +1524,10 @@ def oracle_sql() -> dict[str, str]:
         "image_features_fake": f"""
             SELECT doc_id, mean_intensity, std_intensity
             FROM read_parquet('{_FIXTURE_DIR}/image_features_expected.parquet')
+        """,
+        "stumps_selection": f"""
+            SELECT feature, impact, p_value
+            FROM read_parquet('{_FIXTURE_DIR}/stumps_selection_expected.parquet')
         """,
         "image_resize_fake": f"""
             SELECT doc_id, width, height, resized_hex

@@ -98,3 +98,18 @@ def test_multimodal_expected_fixtures_are_deterministic(spark, name):
     pd.testing.assert_frame_equal(
         live.reset_index(drop=True), committed.reset_index(drop=True)
     )
+
+
+def test_stumps_selection_fixture_is_deterministic():
+    """The stumps_selection value oracle hinges on the numpy boosting run
+    reproducing the committed fixture exactly."""
+    import os
+
+    fix = os.path.join(
+        os.path.dirname(__file__), "fixtures", "stumps_selection_expected.parquet"
+    )
+    committed = pd.read_parquet(fix)
+    live = em._stumps_selection_pdf()
+    pd.testing.assert_frame_equal(
+        live.reset_index(drop=True), committed.reset_index(drop=True)
+    )

@@ -91,6 +91,14 @@ def main():
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path, **kw)
         print(f"wrote {path} ({len(out)} rows)")
 
+    # nonlinear (stumps) selection expected output — numpy-deterministic
+    sp2 = entry._stumps_selection_pdf()
+    path = os.path.abspath(
+        os.path.join(FIXTURE_DIR, "stumps_selection_expected.parquet")
+    )
+    pq.write_table(pa.Table.from_pandas(sp2, preserve_index=False), path, **kw)
+    print(f"wrote {path} ({len(sp2)} rows)")
+
     print(
         f"wrote {TRANSCRIPTS} ({len(tp)} rows), {PROBES} ({len(pp)} rows), "
         f"{MEDIA} ({len(mp)} rows), {SELECTION} ({len(sp)} rows)"
