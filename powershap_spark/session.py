@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # WindowExec falls back to a spill-capable external buffer beyond
+        # this many rows per window partition (default 4096) — the window-
+        # heavy feature build pays that slower path on every conversation.
+        # 128k keeps the salted path's 65k-row chunks fully in-memory
+        # (~10 MB/task for the int32-narrowed rows) while genuinely hot
+        # unchunked conversations still spill safely. Measured at sf1:
+        # 6-14% on the window phase (BENCH/ANALYSIS_r04.md).
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "131072")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
