@@ -14,6 +14,13 @@ scaling deployment — only --num-executors on the submit line changes.
 
 In the sandbox (no cluster manager) it runs on local[N]:
     python tools/submit_job.py --local 8 --synthetic-sf 0.1
+
+Deployment env knobs (read by the library, not this script):
+    POWERSHAP_PERSIST_LEVEL=DISK_ONLY   bound the salted build's diamond
+        persist on memory-budgeted executors (caching.py);
+    spark.cleaner.referenceTracking.cleanCheckpoints=true   reclaim
+        superseded reliable-checkpoint files in long-lived sessions
+        running connected-components dedup repeatedly (dedup.py).
 """
 
 from __future__ import annotations
