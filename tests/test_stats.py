@@ -133,3 +133,44 @@ def test_aggregate_iterations_spark_matches_pandas_combine(spark):
     agg = aggregate_iterations_spark(spark.createDataFrame(pdf))
     wide_sp = shaps_long_to_wide(agg, ["a", "b", "random_uniform_feature"])
     assert np.allclose(wide_pd.values, wide_sp.values, rtol=1e-6)
+
+
+def test_selection_statistics_spark_matches_pandas(spark):
+    """The distributed statistics (A3 combine + A4 impact + A6 tie-aware
+    p-value) must equal statistical_analysis on the same iterations table —
+    including the +1 tie branch, forced by a feature that copies the random
+    probe's values exactly (every iteration ties the score)."""
+    from powershap_spark.stats import (
+        selection_statistics_spark,
+        shaps_long_to_wide,
+        statistical_analysis,
+    )
+
+    rng = np.random.RandomState(4)
+    iters, parts = 6, 3
+    rows = []
+    for it in range(iters):
+        for p in range(parts):
+            nv = 50 + 10 * p
+            for f in ("f_a", "f_b"):
+                rows.append((it, p, f, float(rng.rand()), nv))
+            # CONSTANT probe: its per-iteration values all equal its mean
+            # (the score), so its own p-value exercises the +1 tie branch
+            rows.append((it, p, "random_uniform_feature", 0.37, nv))
+    long_pdf = pd.DataFrame(
+        rows, columns=["iteration", "part_id", "feature", "mean_abs_shap", "n_val_rows"]
+    )
+    long_pdf["mean_abs_shap"] = long_pdf["mean_abs_shap"].astype("float32")
+
+    got = (
+        selection_statistics_spark(spark.createDataFrame(long_pdf))
+        .toPandas()
+        .set_index("feature")
+        .sort_index()
+    )
+    wide = shaps_long_to_wide(long_pdf, ["f_a", "f_b", "random_uniform_feature"])
+    exp = statistical_analysis(wide, 0.01, 0.99, include_all=True).sort_index()
+    np.testing.assert_allclose(got.impact, exp.impact, rtol=1e-6)
+    np.testing.assert_allclose(got.p_value, exp.p_value, atol=1e-12)
+    # the all-tied probe column: (strict=0 + weak=6 + 1) * 0.5 / 6
+    assert got.loc["random_uniform_feature", "p_value"] == pytest.approx(7 / 12)
