@@ -2,12 +2,12 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (hash-derived
-"pixels") exercises the real Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — which is what this module actually
-provides and what the tests cover.
+Decode support: PNG images and PCM WAV audio are decoded FOR REAL with
+stdlib-only codecs (zlib chunk parsing + scanline unfiltering; the wave
+module) — no Pillow/soundfile needed. Formats that genuinely require
+external libraries (JPEG, MP3, video) raise ``NotImplementedError``;
+``fake=True`` keeps the deterministic hash-derived decoder for plumbing
+tests and fixtures.
 
 Scale shape: media bytes stay columnar (Arrow binary arrays) end to end;
 feature extraction is per-batch vectorized; frame sampling emits multiple
@@ -33,7 +33,13 @@ __all__ = [
     "resize_image",
     "image_resize",
     "frame_sample",
+    "decode_png",
+    "encode_png",
+    "decode_wav",
+    "encode_wav",
 ]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _MEDIA_SCHEMA = "media binary, media_type string, width int, height int, n_frames int"
 
@@ -56,13 +62,16 @@ def attach_fake_media(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
 
 
 def decode_image(media: bytes, fake: bool = False) -> np.ndarray:
-    """Decode binary -> HxWx3 uint8 array. REAL decode requires
-    Pillow/libjpeg, absent in this container -> NotImplementedError.
-    fake=True: deterministic hash-derived pixels with the right shape."""
+    """Decode binary -> HxWxC uint8 array. PNG decodes for real (stdlib
+    zlib codec, see decode_png); JPEG/WebP/... require Pillow/libjpeg ->
+    NotImplementedError. fake=True: deterministic hash-derived pixels."""
     if not fake:
+        if bytes(media).startswith(_PNG_MAGIC):
+            return decode_png(bytes(media))
         raise NotImplementedError(
-            "image decode requires Pillow/opencv (not in this environment); "
-            "pass fake=True for the deterministic test decoder"
+            "real decode supports PNG only (stdlib codec); JPEG/WebP need "
+            "Pillow/opencv (not in this environment) — or pass fake=True "
+            "for the deterministic test decoder"
         )
     h = np.frombuffer(media, dtype=np.uint8)
     rng = np.random.RandomState(int(h[:4].view(np.uint32)[0]) if len(h) >= 4 else 0)
@@ -97,13 +106,17 @@ def image_features(
 
 
 def decode_audio(media: bytes, fake: bool = False, n_samples: int = 1024) -> np.ndarray:
-    """Decode binary -> float32 mono waveform in [-1, 1]. REAL decode
-    requires soundfile/ffmpeg, absent in this container ->
-    NotImplementedError. fake=True: deterministic hash-derived waveform."""
+    """Decode binary -> float32 mono waveform in [-1, 1]. PCM WAV decodes
+    for real (stdlib wave codec, see decode_wav); MP3/OGG/... require
+    soundfile/ffmpeg -> NotImplementedError. fake=True: deterministic
+    hash-derived waveform."""
     if not fake:
+        if bytes(media)[:4] == b"RIFF":
+            return decode_wav(bytes(media))
         raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this "
-            "environment); pass fake=True for the deterministic test decoder"
+            "real decode supports PCM WAV only (stdlib codec); MP3/OGG need "
+            "soundfile/ffmpeg (not in this environment) — or pass fake=True "
+            "for the deterministic test decoder"
         )
     h = np.frombuffer(media, dtype=np.uint8)
     rng = np.random.RandomState(int(h[:4].view(np.uint32)[0]) if len(h) >= 4 else 0)
@@ -220,3 +233,150 @@ def frame_sample(
             F.concat(F.col("__media"), le_bytes).alias("frame"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib decoders: PNG (zlib chunks + scanline unfiltering) and PCM WAV
+# (wave module). No external image/audio libraries — formats needing them
+# (JPEG, MP3, ...) still raise NotImplementedError with a clear message.
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4) for 8-bit samples."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prior) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor -> sequential
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                up = int(prior[x])
+                if ftype == 1:  # Sub
+                    v = row[x] + left
+                elif ftype == 3:  # Average
+                    v = row[x] + ((left + up) >> 1)
+                elif ftype == 4:  # Paeth
+                    ul = int(out[y - 1][x - ch]) if (y > 0 and x >= ch) else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    v = row[x] + pred
+                else:
+                    raise ValueError(f"unknown PNG filter type {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_png(media: bytes) -> np.ndarray:
+    """Pure stdlib PNG decode (zlib): 8-bit grayscale/RGB/RGBA,
+    non-interlaced. Returns HxWxC uint8 (C in {1, 3, 4})."""
+    import struct
+    import zlib
+
+    if not media.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG byte stream")
+    pos, idat, hdr = len(_PNG_MAGIC), [], None
+    while pos < len(media):
+        (length,) = struct.unpack(">I", media[pos : pos + 4])
+        ctype = media[pos + 4 : pos + 8]
+        data = media[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_code, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG decoder handles 8-bit non-interlaced images only"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_code)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype_code} (palette) unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    return _png_unfilter(raw, h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines): the writer counterpart for
+    tests and for materializing resized outputs as real PNG bytes."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(media: bytes) -> np.ndarray:
+    """Pure stdlib PCM WAV decode (wave module): returns float32 mono
+    waveform in [-1, 1] (multi-channel input is averaged)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(media), "rb") as f:
+        n, width, nch = f.getnframes(), f.getsampwidth(), f.getnchannels()
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def encode_wav(waveform: np.ndarray, rate: int = 16_000) -> bytes:
+    """PCM16 mono WAV writer (test/materialization counterpart)."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(waveform, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm)
+    return buf.getvalue()
