@@ -736,6 +736,22 @@ def q_audio_features_fake(spark, sf_dir):
     )
 
 
+def q_image_features_real(spark, sf_dir):
+    """Image features over REAL PNG bytes (stdlib zlib decoder — not the
+    fake) from the committed PNG media fixture; expected-output oracle.
+    The decode is deterministic by construction, so the live mapInPandas
+    run must reproduce the fixture bit-for-bit."""
+    from powershap_spark.operators.multimodal import image_features
+
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_png_small.parquet")
+    out = image_features(media, fake=False)
+    return out.select(
+        "doc_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+    )
+
+
 def q_frame_sample_fake(spark, sf_dir):
     """Frame sampling over the committed media fixture (DuckDB cannot
     recompute xxhash64-derived blobs, so the fixture is the shared input).
@@ -882,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powershap_selection": q_powershap_selection,
         "stumps_selection": q_stumps_selection,
         "image_features_fake": q_image_features_fake,
+        "image_features_real": q_image_features_real,
         "image_resize_fake": q_image_resize_fake,
         "audio_features_fake": q_audio_features_fake,
         "frame_sample_fake": q_frame_sample_fake,
@@ -1528,6 +1545,10 @@ def oracle_sql() -> dict[str, str]:
         "stumps_selection": f"""
             SELECT feature, impact, p_value
             FROM read_parquet('{_FIXTURE_DIR}/stumps_selection_expected.parquet')
+        """,
+        "image_features_real": f"""
+            SELECT doc_id, mean_intensity, std_intensity
+            FROM read_parquet('{_FIXTURE_DIR}/image_features_real_expected.parquet')
         """,
         "image_resize_fake": f"""
             SELECT doc_id, width, height, resized_hex

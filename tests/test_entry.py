@@ -78,7 +78,13 @@ def test_selection_iterations_fixture_is_deterministic(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["image_features_fake", "image_resize_fake", "audio_features_fake"]
+    "name",
+    [
+        "image_features_fake",
+        "image_resize_fake",
+        "audio_features_fake",
+        "image_features_real",
+    ],
 )
 def test_multimodal_expected_fixtures_are_deterministic(spark, name):
     """The fake-decoder multimodal oracles read committed expected-output
@@ -92,6 +98,10 @@ def test_multimodal_expected_fixtures_are_deterministic(spark, name):
         "fixtures",
         name.replace("_fake", "") + "_expected.parquet",
     )
+    if name.endswith("_real"):
+        fix = os.path.join(
+            os.path.dirname(__file__), "fixtures", name + "_expected.parquet"
+        )
     committed = pd.read_parquet(fix)
     live = em.queries()[name](spark, None).orderBy("doc_id").toPandas()
     assert list(live.columns) == list(committed.columns)
