@@ -91,6 +91,36 @@ def main():
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path, **kw)
         print(f"wrote {path} ({len(out)} rows)")
 
+    # real-PNG media fixture + expected features (stdlib decoder path)
+    import numpy as np
+
+    from powershap_spark.operators.multimodal import encode_png
+
+    png_rows = []
+    for i in range(50):
+        prng = np.random.RandomState(1000 + i)
+        h, w = 8 + i % 5, 6 + i % 7
+        img = prng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        png_rows.append(
+            {"doc_id": np.int64(i), "media": encode_png(img),
+             "width": np.int32(w), "height": np.int32(h)}
+        )
+    import pandas as pd
+
+    png_pdf = pd.DataFrame(png_rows)
+    pq.write_table(
+        pa.Table.from_pandas(png_pdf, preserve_index=False),
+        os.path.abspath(os.path.join(FIXTURE_DIR, "media_png_small.parquet")),
+    )
+    out = entry.queries()["image_features_real"](spark, None).orderBy("doc_id").toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False),
+        os.path.abspath(
+            os.path.join(FIXTURE_DIR, "image_features_real_expected.parquet")
+        ),
+    )
+    print(f"wrote media_png_small + image_features_real_expected ({len(out)} rows)")
+
     # nonlinear (stumps) selection expected output — numpy-deterministic
     sp2 = entry._stumps_selection_pdf()
     path = os.path.abspath(
