@@ -752,6 +752,20 @@ def q_image_features_real(spark, sf_dir):
     )
 
 
+def q_audio_features_real(spark, sf_dir):
+    """Audio features over REAL PCM WAV bytes (stdlib wave decoder) from
+    the committed WAV media fixture; expected-output oracle."""
+    from powershap_spark.operators.multimodal import audio_features
+
+    media = spark.read.parquet(f"{_FIXTURE_DIR}/media_wav_small.parquet")
+    out = audio_features(media, fake=False)
+    return out.select(
+        "doc_id",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
 def q_frame_sample_fake(spark, sf_dir):
     """Frame sampling over the committed media fixture (DuckDB cannot
     recompute xxhash64-derived blobs, so the fixture is the shared input).
@@ -899,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stumps_selection": q_stumps_selection,
         "image_features_fake": q_image_features_fake,
         "image_features_real": q_image_features_real,
+        "audio_features_real": q_audio_features_real,
         "image_resize_fake": q_image_resize_fake,
         "audio_features_fake": q_audio_features_fake,
         "frame_sample_fake": q_frame_sample_fake,
@@ -1549,6 +1564,10 @@ def oracle_sql() -> dict[str, str]:
         "image_features_real": f"""
             SELECT doc_id, mean_intensity, std_intensity
             FROM read_parquet('{_FIXTURE_DIR}/image_features_real_expected.parquet')
+        """,
+        "audio_features_real": f"""
+            SELECT doc_id, rms, zero_crossing_rate
+            FROM read_parquet('{_FIXTURE_DIR}/audio_features_real_expected.parquet')
         """,
         "image_resize_fake": f"""
             SELECT doc_id, width, height, resized_hex

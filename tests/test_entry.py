@@ -84,6 +84,7 @@ def test_selection_iterations_fixture_is_deterministic(spark):
         "image_resize_fake",
         "audio_features_fake",
         "image_features_real",
+        "audio_features_real",
     ],
 )
 def test_multimodal_expected_fixtures_are_deterministic(spark, name):

@@ -121,6 +121,31 @@ def main():
     )
     print(f"wrote media_png_small + image_features_real_expected ({len(out)} rows)")
 
+    # real-WAV media fixture + expected features (stdlib wave decoder path)
+    from powershap_spark.operators.multimodal import encode_wav
+
+    wav_rows = []
+    for i in range(40):
+        wrng = np.random.RandomState(2000 + i)
+        n = 800 + 40 * (i % 9)
+        tgrid = np.arange(n) / 16000.0
+        freq = 50.0 + 25.0 * (i % 11)
+        amp = 0.1 + 0.8 * wrng.rand()
+        wave = amp * np.sin(2 * np.pi * freq * tgrid) + 0.05 * wrng.randn(n)
+        wav_rows.append({"doc_id": np.int64(i), "media": encode_wav(wave)})
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(wav_rows), preserve_index=False),
+        os.path.abspath(os.path.join(FIXTURE_DIR, "media_wav_small.parquet")),
+    )
+    out = entry.queries()["audio_features_real"](spark, None).orderBy("doc_id").toPandas()
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False),
+        os.path.abspath(
+            os.path.join(FIXTURE_DIR, "audio_features_real_expected.parquet")
+        ),
+    )
+    print(f"wrote media_wav_small + audio_features_real_expected ({len(out)} rows)")
+
     # nonlinear (stumps) selection expected output — numpy-deterministic
     sp2 = entry._stumps_selection_pdf()
     path = os.path.abspath(
