@@ -11,7 +11,7 @@ resumable, partition-parallel iterations.
 """
 
 from .engine import CheckpointStore, PowerShapSelector
-from .kernel import RANDOM_COL
+from .kernel import RANDOM_COL, GradientBoostedStumpsModel
 from .splitters import (
     GroupKFold,
     GroupShuffleSplit,
@@ -31,6 +31,7 @@ __all__ = [
     "CheckpointStore",
     "statistical_analysis",
     "RANDOM_COL",
+    "GradientBoostedStumpsModel",
     "KFold",
     "StratifiedKFold",
     "GroupKFold",
