@@ -163,12 +163,17 @@ def image_resize(
     target_h: int,
     media_col: str = "media",
     fake: bool = True,
+    out_format: str = "raw",
 ) -> DataFrame:
-    """Batch image resize via mapInPandas: decode (stubbed) ->
-    nearest-neighbor resize (real numpy) -> raw-RGB bytes out, with the
-    width/height metadata updated to the target shape. The Spark-side
-    plumbing — binary in/out, Arrow batching, metadata columns — is real
-    and what a libjpeg-backed decoder would plug into."""
+    """Batch image resize via mapInPandas: decode (REAL for PNG, fake
+    otherwise) -> nearest-neighbor resize (pure numpy) -> bytes out, with
+    the width/height metadata updated to the target shape.
+
+    ``out_format``: "raw" emits packed HxWxC sample bytes (cheapest;
+    consumer must know the shape from the metadata columns); "png" emits a
+    valid PNG via the stdlib encoder, readable by any downstream tool."""
+    if out_format not in ("raw", "png"):
+        raise ValueError(f"out_format must be raw|png, got {out_format!r}")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -180,7 +185,10 @@ def image_resize(
             out = []
             for blob in pdf[media_col]:
                 img = decode_image(bytes(blob), fake=fake)
-                out.append(resize_image(img, target_w, target_h).tobytes())
+                small = resize_image(img, target_w, target_h)
+                out.append(
+                    encode_png(small) if out_format == "png" else small.tobytes()
+                )
             pdf = pdf.drop(columns=[c for c in ("width", "height") if c in pdf])
             pdf["width"] = np.int32(target_w)
             pdf["height"] = np.int32(target_h)

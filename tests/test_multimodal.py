@@ -190,3 +190,37 @@ def test_png_roundtrip_all_filters():
             + chunk(b"IEND", b"")
         )
         assert (decode_png(png) == img).all(), f"filter {ftype}"
+
+
+def test_image_resize_png_output_roundtrips(spark):
+    """out_format='png': resized output is a VALID PNG decodable by the
+    stdlib codec, pixel-equal to the raw nearest-neighbor result."""
+    import numpy as np
+    import pandas as pd
+
+    from powershap_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        image_resize,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (10, 8, 3), dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "media": [encode_png(img)],
+            "width": np.int32(8),
+            "height": np.int32(10),
+        }
+    )
+    out = (
+        image_resize(
+            spark.createDataFrame(pdf), target_w=4, target_h=5, fake=False,
+            out_format="png",
+        )
+        .toPandas()
+    )
+    got = decode_png(bytes(out.resized[0]))
+    assert (got == resize_image(img, 4, 5)).all()
