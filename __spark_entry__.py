@@ -551,15 +551,22 @@ def q_embedding_cosine_dedup(spark, sf_dir):
     of 8 planes — narrow buckets keep the self-join ~linear, bands buy back
     recall; poly family so the oracle can rebuild every band's buckets),
     cosine >= 0.9 drops the higher vec_id."""
+    from powershap_spark.caching import tracking_scope
     from powershap_spark.operators.similarity import embedding_cosine_dedup
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_cosine_dedup(
-        emb, threshold=0.9, n_planes=8, n_bands=4, hash_family="poly"
-    )
-    return out.select("vec_id")
+    # scope the operator's internal persist so repeated driver calls don't
+    # accumulate cached DataFrames in the global registry
+    with tracking_scope():
+        out = embedding_cosine_dedup(
+            emb, threshold=0.9, n_planes=8, n_bands=4, hash_family="poly"
+        )
+        out = spark.createDataFrame(
+            out.select("vec_id").toPandas(), "vec_id long"
+        )
+    return out
 
 
 import os as _os

@@ -39,9 +39,11 @@ URL_CANON_STEPS = [
     (r"^([^?&]*)&", r"$1?"),  # first '&' that lost its '?' head
     (r"/\?", "?"),  # path/?q -> path?q
     (r"\?$", ""),  # empty query
-    # default ports: capture the tail instead of a lookahead (an
-    # unmatched optional group substitutes "")
-    (r"^(https?://[^/?:]+):(80|443)([/?].*)?$", r"$1$3"),
+    # default ports, tied to their scheme (http:443 / https:80 are real
+    # non-default ports and must survive); capture the tail instead of a
+    # lookahead (an unmatched optional group substitutes "")
+    (r"^(http://[^/?:]+):80([/?].*)?$", r"$1$2"),
+    (r"^(https://[^/?:]+):443([/?].*)?$", r"$1$2"),
     (r"(://[^/?#]+/.+?)/$", r"$1"),  # trailing slash on non-root path
 ]
 

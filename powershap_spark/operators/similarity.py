@@ -328,6 +328,7 @@ def embedding_cosine_dedup(
     seed: int = 5,
     hash_family: str = "xxhash",
     n_bands: int = 8,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate removal: candidate pairs collide in at
     least one of ``n_bands`` sign-LSH bands of ``n_planes`` planes each
@@ -342,12 +343,17 @@ def embedding_cosine_dedup(
     dedup.
 
     The input is consumed by FOUR subtrees (band explode, two vector
-    re-joins, the final left-anti), so it is tracked-persisted here —
-    same discipline as minhash_dedup's signature table; release via the
-    caller's ``caching.tracking_scope`` or ``caching.release_tracked()``."""
+    re-joins, the final left-anti), so it is tracked-persisted here by
+    default — release via the caller's ``caching.tracking_scope`` or
+    ``caching.release_tracked()``. Outside a tracking scope the reference
+    lands in the global registry and accumulates across repeated calls
+    (bench loops, notebooks): either wrap call sites in
+    ``tracking_scope()`` or pass ``persist=False`` when the caller has
+    already persisted the input."""
     from ..caching import tracked_persist
 
-    embeddings = tracked_persist(embeddings)
+    if persist:
+        embeddings = tracked_persist(embeddings)
     pairs = cosine_candidate_pairs(
         embeddings,
         n_planes=n_planes,

@@ -40,8 +40,15 @@ def get_spark(
         # 128k keeps the salted path's 65k-row chunks fully in-memory
         # (~10 MB/task for the int32-narrowed rows) while genuinely hot
         # unchunked conversations still spill safely. Measured at sf1:
-        # 6-14% on the window phase (BENCH/ANALYSIS_r04.md).
-        .config("spark.sql.windowExec.buffer.in.memory.threshold", "131072")
+        # 6-14% on the window phase (BENCH/ANALYSIS_r04.md). CAVEAT: below
+        # the threshold rows buffer in a plain untracked array — the 10 MB
+        # estimate holds only for narrowed rows; window stages over WIDE
+        # rows (e.g. text columns carried through) can hold 128k full rows
+        # per task. Lower via env on memory-tight executors.
+        .config(
+            "spark.sql.windowExec.buffer.in.memory.threshold",
+            os.environ.get("POWERSHAP_WINDOW_BUFFER_ROWS", "131072"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

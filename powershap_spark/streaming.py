@@ -355,7 +355,13 @@ def streaming_point_in_time_join(
     like streaming_turn_features). A feature arriving AFTER a probe it
     should have matched cannot retroactively re-emit that probe — that is
     the inherent online-serving contract, not a bug; re-run the batch
-    as-of join for backfills.
+    as-of join for backfills. Features that arrive LATE relative to the
+    carried state register (batch ts < carried last_fts) are dropped
+    before the fold: under the single-register online contract they can
+    never be served (the register only ever holds the latest feature), and
+    keeping them would both break the sortedness np.searchsorted requires
+    and let line-final state regress the register to an older feature.
+    The register is therefore monotone in ts by construction.
 
     Implementation: tag + union the two streams, group by conv_id, fold
     each microbatch vectorized — sort by (ts, side) with features first on
@@ -394,8 +400,12 @@ def streaming_point_in_time_join(
             f_ts = ep[side == 0]
             f_val = pdf["fvalue"].to_numpy()[side == 0]
             if last_fts is not None:
-                f_ts = np.concatenate(([last_fts], f_ts))
-                f_val = np.concatenate(([last_fval], f_val))
+                # drop stale arrivals (older than the register): keeps
+                # f_ts sorted and the state register monotone; ties keep
+                # the batch row (newer arrival wins searchsorted right-1)
+                fresh = f_ts >= last_fts
+                f_ts = np.concatenate(([last_fts], f_ts[fresh]))
+                f_val = np.concatenate(([last_fval], f_val[fresh]))
             pm = side == 1
             if pm.any():
                 p_ts = ep[pm]

@@ -301,6 +301,100 @@ def test_streaming_pit_join_matches_batch_asof(spark, tmp_path, n_batches):
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
 
 
+def test_streaming_pit_join_out_of_order_feature_dropped(spark, tmp_path):
+    """A feature arriving in a LATER microbatch with an OLDER ts than the
+    carried state register is dropped (single-register online contract):
+    probes never match it, np.searchsorted's sortedness precondition holds,
+    and the register stays monotone — it must NOT regress to the stale
+    feature's ts (the pre-fix bug: last_fts <- f_ts[-1] after an unsorted
+    concat regressed the 'latest feature' register)."""
+    from powershap_spark.streaming import (
+        run_stream_to_table,
+        streaming_point_in_time_join,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    base = pd.Timestamp("2024-03-01")
+
+    def t(s):
+        return base + pd.Timedelta(seconds=s)
+
+    fschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("fvalue", DoubleType()),
+        ]
+    )
+    pschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("label", DoubleType()),
+        ]
+    )
+    # batch 1: register becomes (100, 1.0)
+    b1_f = pd.DataFrame([("c1", t(100), 1.0)], columns=["conv_id", "ts", "fvalue"])
+    b1_p = pd.DataFrame([("c1", t(110), 0.0)], columns=["conv_id", "ts", "label"])
+    # batch 2: stale feature ts=50 (< register 100) must be DROPPED; fresh
+    # feature ts=200 advances the register; probe 60 must NOT see the stale
+    # feature, probe 250 must match (200, 2.0)
+    b2_f = pd.DataFrame(
+        [("c1", t(50), 9.0), ("c1", t(200), 2.0)],
+        columns=["conv_id", "ts", "fvalue"],
+    )
+    b2_p = pd.DataFrame(
+        [("c1", t(60), 0.0), ("c1", t(250), 1.0)],
+        columns=["conv_id", "ts", "label"],
+    )
+    # batch 3: probe 300 proves the register did not regress to ts=50
+    b3_p = pd.DataFrame([("c1", t(300), 1.0)], columns=["conv_id", "ts", "label"])
+
+    fsrc, psrc = str(tmp_path / "ooo_f"), str(tmp_path / "ooo_p")
+    empty_f = b1_f.iloc[:0]
+    for fb, pb in [(b1_f, b1_p), (b2_f, b2_p), (empty_f, b3_p)]:
+        spark.createDataFrame(fb, schema=fschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(fsrc)
+        spark.createDataFrame(pb, schema=pschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(psrc)
+        time.sleep(1.1)
+
+    fstream = spark.readStream.schema(fschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(fsrc)
+    pstream = spark.readStream.schema(pschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(psrc)
+    out = streaming_point_in_time_join(fstream, pstream)
+    run_stream_to_table(out, "pit_ooo", str(tmp_path / "ckpt_ooo"))
+    got = (
+        spark.sql("select * from pit_ooo")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == 4
+    # probe 60: no match (stale ts=50 dropped, register held 100 > 60)
+    assert pd.isna(got.loc[got.ts == t(60), "fvalue"]).all()
+    # probe 110 -> (100, 1.0); probes 250/300 -> (200, 2.0), proving the
+    # register advanced to 200 and never regressed to the stale (50, 9.0)
+    assert got.loc[got.ts == t(110), "fvalue"].iloc[0] == 1.0
+    for pts in (250, 300):
+        row = got.loc[got.ts == t(pts)].iloc[0]
+        assert row.fvalue == 2.0
+        assert row.feature_ts == t(200)
+    assert not (got.fvalue == 9.0).any()
+
+
 def test_streaming_exact_dedup_ttl_expires_state(spark, tmp_path):
     """TTL semantics on a CONTINUOUS query (availableNow never terminates
     with a processing-time timeout — documented): within the TTL a

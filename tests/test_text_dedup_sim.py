@@ -634,6 +634,11 @@ def test_canonicalize_url_goldens(spark):
         ("http://A.com", "http://a.com"),
         ("http://a.com/p/?fbclid=1", "http://a.com/p"),
         ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+        # cross-scheme ports are NOT defaults — must survive (two distinct
+        # origins must not collapse onto the portless URL)
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        ("https://a.com:80/x", "https://a.com:80/x"),
+        ("https://a.com:443/x", "https://a.com/x"),
     ]
     pdf = pd.DataFrame({"url": [c[0] for c in cases]})
     got = (
