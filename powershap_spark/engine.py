@@ -35,7 +35,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from .kernel import RANDOM_COL, explain_iteration
+from .kernel import RANDOM_COL, explain_iteration, explain_prepared, prepare_block
 from .stats import shaps_long_to_wide, statistical_analysis
 
 _RESULT_SCHEMA = (
@@ -130,6 +130,19 @@ def _make_group_fn(
         part_id = int(key[0])
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        # the float64 matrix + label/stratify/group arrays are built ONCE
+        # per partition block; every batch iteration reuses them and only
+        # the probe column is rewritten in place (pass elimination — the
+        # per-iteration matrix rebuild was a full O(n*m) copy each time)
+        blk = prepare_block(
+            pdf,
+            feature_cols,
+            label_col,
+            stratify_col=stratify_col,
+            group_col=group_col,
+            row_key_col=row_key_col,
+            sort_cols=None,  # sorted once above
+        )
         gen, cur = None, -1
 
         def _cv_error(e):
@@ -174,19 +187,13 @@ def _make_group_fn(
                     raise _cv_error(e) from e
                 cur += 1
             t0 = time.perf_counter()
-            out = explain_iteration(
-                pdf,
-                feature_cols,
-                label_col,
+            out = explain_prepared(
+                blk,
                 iteration=local_i,
                 seed_start=seed_start,
                 val_size=val_size,
-                stratify_col=stratify_col,
-                group_col=group_col,
                 model=model,
                 probe_mode=probe_mode,
-                row_key_col=row_key_col,
-                sort_cols=None,  # sorted once above
                 split_override=split,
                 fit_kwargs=fit_kwargs,
             )
@@ -475,6 +482,7 @@ class PandasExplainBackend:
         feats = [c for c in self.feature_cols if c not in set(exclude_cols or [])]
         fit_kw = {**self.fit_kwargs, **(extra_fit_kwargs or {})}
         rows = []
+        blk = None  # built lazily: an all-checkpointed batch never needs it
         for i in range(loop_its):
             g = seed_start + i
             split = self._next_split() if self.cv is not None else None
@@ -483,15 +491,19 @@ class PandasExplainBackend:
                 if set(cached["feature"]) == set(feats) | {RANDOM_COL}:
                     rows.append(cached)
                     continue
-            out = explain_iteration(
-                self.pdf,
-                feats,
-                "__label",
+            if blk is None:
+                blk = prepare_block(
+                    self.pdf,
+                    feats,
+                    "__label",
+                    stratify_col="__strat" if self.has_strat else None,
+                    group_col="__groups" if self.has_groups else None,
+                )
+            out = explain_prepared(
+                blk,
                 iteration=i,
                 seed_start=seed_start,
                 val_size=self.val_size,
-                stratify_col="__strat" if self.has_strat else None,
-                group_col="__groups" if self.has_groups else None,
                 model=self.model,
                 split_override=split,
                 fit_kwargs=fit_kw,

@@ -502,23 +502,58 @@ def _feature_matrix(pdf: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
     return np.column_stack(cols) if cols else np.empty((len(pdf), 0))
 
 
-def explain_iteration(
+def prepare_block(
     pdf: pd.DataFrame,
     feature_cols: list[str],
     label_col: str,
+    stratify_col: str | None = None,
+    group_col: str | None = None,
+    row_key_col: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Build the reusable per-partition fit context ONCE.
+
+    The batched explain loop runs every iteration of a batch on the SAME
+    pandas block; rebuilding the float64 matrix + label/stratify/group
+    arrays per iteration is O(n*m) redundant memory traffic per iteration
+    (the pass-elimination lever the N->4N scaling work targets: at 4N the
+    contended resource is DRAM bandwidth, so every avoided full-matrix
+    copy improves the ratio, not just the wall time). ``Xp`` is allocated
+    with one spare trailing column for the random probe — each iteration
+    overwrites ONLY that column in place instead of column_stacking a
+    fresh (n, m+1) copy."""
+    if sort_cols:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    X = _feature_matrix(pdf, feature_cols)
+    m = X.shape[1]
+    Xp = np.empty((n, m + 1), dtype=np.float64)
+    Xp[:, :m] = X
+    return {
+        "n": n,
+        "m": m,
+        "Xp": Xp,
+        "y": pdf[label_col].to_numpy(),
+        "cols": list(feature_cols) + [RANDOM_COL],
+        "stratify": pdf[stratify_col].to_numpy() if stratify_col else None,
+        "groups": pdf[group_col].to_numpy() if group_col else None,
+        "row_keys": (
+            pdf[row_key_col].to_numpy(dtype=np.int64) if row_key_col else None
+        ),
+    }
+
+
+def explain_prepared(
+    blk: dict,
     iteration: int,
     seed_start: int = 0,
     val_size: float = 0.2,
-    stratify_col: str | None = None,
-    group_col: str | None = None,
     model=None,
     probe_mode: str = "positional",
-    row_key_col: str | None = None,
-    sort_cols: list[str] | None = None,
     split_override: tuple | None = None,
     fit_kwargs: dict | None = None,
 ) -> pd.DataFrame:
-    """Run ONE powershap iteration on one pandas block.
+    """Run ONE powershap iteration on a ``prepare_block`` context.
 
     ``split_override`` injects a pre-computed (train_idx, val_idx) pair —
     the cv path (reference shap_explainer.py:117-120: a custom
@@ -533,23 +568,12 @@ def explain_iteration(
     n_val_rows:int64)`` — the partial that the engine aggregates across
     partitions with a count-weighted mean (SURVEY §2.4 A3).
     """
-    if sort_cols:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-    n = len(pdf)
-    X = _feature_matrix(pdf, feature_cols)
-    y = pdf[label_col].to_numpy()
-
-    if probe_mode == "keyed" and row_key_col is not None:
-        probe = inject_probe_keyed(
-            pdf[row_key_col].to_numpy(dtype=np.int64), iteration, seed_start
-        )
+    n, m, Xp, y = blk["n"], blk["m"], blk["Xp"], blk["y"]
+    if probe_mode == "keyed" and blk["row_keys"] is not None:
+        Xp[:, m] = inject_probe_keyed(blk["row_keys"], iteration, seed_start)
     else:
-        probe = inject_probe_positional(n, iteration, seed_start)
-    Xp = np.column_stack([X, probe])
-    cols = list(feature_cols) + [RANDOM_COL]
+        Xp[:, m] = inject_probe_positional(n, iteration, seed_start)
 
-    stratify = pdf[stratify_col].to_numpy() if stratify_col else None
-    groups = pdf[group_col].to_numpy() if group_col else None
     if split_override is not None:
         train_idx = np.sort(np.asarray(split_override[0]))
         val_idx = np.sort(np.asarray(split_override[1]))
@@ -557,7 +581,7 @@ def explain_iteration(
         # reference seeds the SPLIT with the bare iteration index i
         # (shap_explainer.py:122), the MODEL with i + seed_start (:109,163)
         train_idx, val_idx = train_test_split_indices(
-            n, val_size, iteration, stratify=stratify, groups=groups
+            n, val_size, iteration, stratify=blk["stratify"], groups=blk["groups"]
         )
     X_train, X_val = Xp[train_idx], Xp[val_idx]
     Y_train, Y_val = y[train_idx], y[val_idx]
@@ -579,10 +603,52 @@ def explain_iteration(
 
     return pd.DataFrame(
         {
-            "feature": cols,
+            "feature": blk["cols"],
             "mean_abs_shap": mean_abs,
             "n_val_rows": np.int64(len(val_idx)),
         }
+    )
+
+
+def explain_iteration(
+    pdf: pd.DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iteration: int,
+    seed_start: int = 0,
+    val_size: float = 0.2,
+    stratify_col: str | None = None,
+    group_col: str | None = None,
+    model=None,
+    probe_mode: str = "positional",
+    row_key_col: str | None = None,
+    sort_cols: list[str] | None = None,
+    split_override: tuple | None = None,
+    fit_kwargs: dict | None = None,
+) -> pd.DataFrame:
+    """One-shot convenience wrapper: ``prepare_block`` + ``explain_prepared``.
+    Batched callers (the applyInPandas group fn, the pandas backend loop)
+    prepare the block once and call ``explain_prepared`` per iteration —
+    results are bit-identical either way (same matrix values, same probe,
+    same split)."""
+    blk = prepare_block(
+        pdf,
+        feature_cols,
+        label_col,
+        stratify_col=stratify_col,
+        group_col=group_col,
+        row_key_col=row_key_col,
+        sort_cols=sort_cols,
+    )
+    return explain_prepared(
+        blk,
+        iteration,
+        seed_start=seed_start,
+        val_size=val_size,
+        model=model,
+        probe_mode=probe_mode,
+        split_override=split_override,
+        fit_kwargs=fit_kwargs,
     )
 
 

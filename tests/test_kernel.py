@@ -108,6 +108,36 @@ def test_explain_iteration_output_contract():
     ).mean_abs_shap["random_uniform_feature"]
 
 
+def test_prepared_loop_bit_identical_to_one_shot():
+    """The batched path (prepare_block once + explain_prepared per
+    iteration, probe column overwritten in place) must be BIT-identical to
+    the one-shot explain_iteration — the pass-elimination refactor may not
+    change a single value, in both probe modes."""
+    from powershap_spark.kernel import explain_prepared, prepare_block
+
+    r = np.random.RandomState(21)
+    pdf = pd.DataFrame(r.randn(300, 4), columns=["a", "b", "c", "d"])
+    pdf["label"] = (pdf["a"] + 0.3 * pdf["b"] > 0).astype(np.int64)
+    pdf["__row_key"] = np.arange(300, dtype=np.int64) * 7919
+    feats = ["a", "b", "c", "d"]
+    for mode, key in [("positional", None), ("keyed", "__row_key")]:
+        blk = prepare_block(pdf, feats, "label", row_key_col=key)
+        for it in range(4):
+            batched = explain_prepared(
+                blk, iteration=it, seed_start=5, probe_mode=mode
+            )
+            oneshot = explain_iteration(
+                pdf,
+                feats,
+                "label",
+                iteration=it,
+                seed_start=5,
+                probe_mode=mode,
+                row_key_col=key,
+            )
+            pd.testing.assert_frame_equal(batched, oneshot)
+
+
 def test_logistic_multiclass_ovr():
     """3+ classes -> one-vs-rest: coef_ (k, m), 3-D linear SHAP, and the
     argmax prediction recovers a linearly separable 3-class labeling
