@@ -112,6 +112,7 @@ def _make_group_fn(
     cv=None,
     cv_positions=None,
     fit_kwargs=None,
+    matrix_dtype=np.float32,
 ):
     """Per-partition UDF body: the feature matrix block for one part_id is
     materialized ONCE (a single Arrow transfer per partition) and ALL batch
@@ -142,6 +143,7 @@ def _make_group_fn(
             group_col=group_col,
             row_key_col=row_key_col,
             sort_cols=None,  # sorted once above
+            matrix_dtype=matrix_dtype,
         )
         gen, cur = None, -1
 
@@ -229,9 +231,11 @@ class SparkExplainBackend:
         fit_kwargs: dict | None = None,
         show_progress: bool = False,
         cv_start_pos: int = 0,
+        matrix_dtype="float32",
     ):
         from pyspark.sql import functions as F
 
+        self.matrix_dtype = np.dtype(matrix_dtype)
         self.feature_cols = list(feature_cols)
         self.label_col = label_col
         self.val_size = val_size
@@ -258,6 +262,22 @@ class SparkExplainBackend:
             key_cols = sort_cols or feature_cols
             d = d.withColumn("__row_key", F.xxhash64(*[F.col(c) for c in key_cols]))
             self.row_key_col = "__row_key"
+        if self.matrix_dtype == np.dtype(np.float32):
+            # narrow the FEATURE columns to float32 at the source: the
+            # cached matrix, the part_id shuffle, and the Arrow transfer
+            # into the Python workers all halve (keys / label / sort /
+            # stratify / group columns keep their exact types). The single
+            # JVM-side double->float rounding is the same IEEE rounding
+            # pandas' astype(float32) applies, so the Spark and pandas
+            # backends still produce identical matrices.
+            numeric = {"double", "integer", "long", "short", "decimal"}
+            d = d.withColumns(
+                {
+                    c: F.col(c).cast("float")
+                    for c in self.feature_cols
+                    if d.schema[c].dataType.typeName() in numeric
+                }
+            )
         self.df = d.cache()
         self.spark = df.sparkSession
 
@@ -341,6 +361,7 @@ class SparkExplainBackend:
                 cv=self.cv,
                 cv_positions=cv_positions,
                 fit_kwargs=fit_kw,
+                matrix_dtype=self.matrix_dtype,
             )
             t0 = time.perf_counter()
             if self.show_progress:
@@ -440,7 +461,9 @@ class PandasExplainBackend:
         cv=None,
         fit_kwargs: dict | None = None,
         cv_start_pos: int = 0,
+        matrix_dtype="float32",
     ):
+        self.matrix_dtype = np.dtype(matrix_dtype)
         self.pdf = X.copy()
         self.pdf["__label"] = np.asarray(y)
         if stratify is not None:
@@ -498,6 +521,7 @@ class PandasExplainBackend:
                     "__label",
                     stratify_col="__strat" if self.has_strat else None,
                     group_col="__groups" if self.has_groups else None,
+                    matrix_dtype=self.matrix_dtype,
                 )
             out = explain_prepared(
                 blk,
@@ -552,6 +576,7 @@ class PowerShapSelector:
         sort_cols: list[str] | None = None,
         checkpoint_dir: str | None = None,
         run_id: str = "default",
+        matrix_dtype: str = "float32",
         **fit_kwargs,
     ):
         self.model = model
@@ -586,6 +611,10 @@ class PowerShapSelector:
         self.sort_cols = sort_cols
         self.checkpoint_dir = checkpoint_dir
         self.run_id = run_id
+        # fit-matrix dtype ("float32" default / "float64"): float32 halves
+        # the cached matrix, its shuffle+Arrow transfer, and every kernel
+        # memory pass — see kernel.prepare_block. Statistics stay float64.
+        self.matrix_dtype = matrix_dtype
         self.fit_kwargs = fit_kwargs
 
     def _print(self, *a):
@@ -623,6 +652,7 @@ class PowerShapSelector:
             backend = PandasExplainBackend(
                 X, y, self.val_size, strat, groups, self.model, store,
                 cv=self.cv, fit_kwargs=fit_kw, cv_start_pos=self._cv_consumed,
+                matrix_dtype=self.matrix_dtype,
             )
             self.feature_names_in_ = np.asarray(list(X.columns))
         else:  # Spark DataFrame
@@ -654,6 +684,7 @@ class PowerShapSelector:
                 fit_kwargs=fit_kw,
                 show_progress=self.show_progress,
                 cv_start_pos=self._cv_consumed,
+                matrix_dtype=self.matrix_dtype,
             )
             self.feature_names_in_ = np.asarray(feature_cols)
 

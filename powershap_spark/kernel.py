@@ -117,27 +117,42 @@ def train_test_split_indices(
 # ---------------------------------------------------------------------------
 
 
+def _work_dtype(X: np.ndarray) -> np.dtype:
+    """Fit math follows the matrix dtype: float32 blocks run the whole
+    GEMM/standardize pipeline in float32 (half the DRAM traffic, 2x BLAS
+    throughput — the N->4N scaling lever), anything else computes in
+    float64. The tiny (m x m) solves are promoted to float64 regardless:
+    they cost nothing and keep the Newton/normal-equation steps stable."""
+    return np.dtype(X.dtype) if X.dtype in (np.float32, np.float64) else np.dtype(
+        np.float64
+    )
+
+
 @dataclass
 class LinearRegressionModel:
-    """OLS with a tiny ridge for conditioning; closed form."""
+    """OLS with a tiny ridge for conditioning; closed form. Normal-equation
+    products run in the input dtype (see ``_work_dtype``); the m x m solve
+    is float64."""
 
     l2: float = 1e-8
     coef_: np.ndarray | None = None
     intercept_: float = 0.0
 
     def fit(self, X: np.ndarray, y: np.ndarray, random_seed: int = 0):
-        X = np.asarray(X, dtype=np.float64)
-        y = np.asarray(y, dtype=np.float64)
-        mu = X.mean(axis=0)
+        X = np.asarray(X)
+        wd = _work_dtype(X)
+        X = X.astype(wd, copy=False)
+        y = np.asarray(y, dtype=wd)
+        mu = X.mean(axis=0, dtype=wd)
         Xc = X - mu
-        yc = y - y.mean()
-        A = Xc.T @ Xc + self.l2 * np.eye(X.shape[1])
-        self.coef_ = np.linalg.solve(A, Xc.T @ yc)
-        self.intercept_ = float(y.mean() - mu @ self.coef_)
+        yc = y - y.mean(dtype=wd)
+        A = (Xc.T @ Xc).astype(np.float64) + self.l2 * np.eye(X.shape[1])
+        self.coef_ = np.linalg.solve(A, (Xc.T @ yc).astype(np.float64)).astype(wd)
+        self.intercept_ = float(y.mean(dtype=np.float64) - mu @ self.coef_)
         return self
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+        return np.asarray(X) @ self.coef_ + self.intercept_
 
 
 @dataclass
@@ -158,7 +173,9 @@ class LogisticRegressionModel:
     classes_: np.ndarray | None = None
 
     def fit(self, X: np.ndarray, y: np.ndarray, random_seed: int = 0):
-        X = np.asarray(X, dtype=np.float64)
+        X = np.asarray(X)
+        wd = _work_dtype(X)
+        X = X.astype(wd, copy=False)
         y_raw = np.asarray(y)
         self.classes_ = np.unique(y_raw)
         if len(self.classes_) == 1:
@@ -200,43 +217,54 @@ class LogisticRegressionModel:
                 y = (y_raw == self.classes_[1]).astype(np.float64)
         except (ValueError, TypeError):
             y = (y_raw == self.classes_[1]).astype(np.float64)
-        # standardize internally for conditioning; fold back at the end
-        mu, sd = X.mean(axis=0), X.std(axis=0)
-        sd = np.where(sd < 1e-12, 1.0, sd)
+        # standardize internally for conditioning; fold back at the end.
+        # Everything O(n*m) stays in the work dtype (float32 blocks: half
+        # the memory passes, sgemm); only the tiny (m+1)^2 Newton solve is
+        # float64. The convergence tolerance is floored at the work
+        # dtype's resolution — float32 steps bottom out ~1e-6, so the
+        # float64 default tol would otherwise burn max_iter full passes.
+        y = y.astype(wd, copy=False)
+        mu, sd = X.mean(axis=0, dtype=wd), X.std(axis=0, dtype=wd)
+        sd = np.where(sd < 1e-12, 1.0, sd).astype(wd)
         Z = (X - mu) / sd
         n, m = Z.shape
-        w = np.zeros(m)
-        b = float(np.log((y.mean() + 1e-9) / (1 - y.mean() + 1e-9)))
+        tol = max(self.tol, 100.0 * float(np.finfo(wd).eps))
+        w = np.zeros(m, dtype=wd)
+        b = float(np.log((y.mean(dtype=np.float64) + 1e-9) / (1 - y.mean(dtype=np.float64) + 1e-9)))
+        ZW = np.empty_like(Z)  # reused Hessian work buffer (no per-step alloc)
         for _ in range(self.max_iter):
             eta = np.clip(Z @ w + b, -35, 35)
             p = 1.0 / (1.0 + np.exp(-eta))
             g = Z.T @ (p - y) + self.l2 * w
-            gb = float(np.sum(p - y))
+            gb = float(np.sum(p - y, dtype=np.float64))
             W = np.maximum(p * (1 - p), 1e-9)
-            H = (Z * W[:, None]).T @ Z + self.l2 * np.eye(m)
-            Hb = float(np.sum(W))
+            np.multiply(Z, W[:, None], out=ZW)
+            H = ZW.T @ Z + self.l2 * np.eye(m, dtype=wd)
+            Hb = float(np.sum(W, dtype=np.float64))
             Hxb = Z.T @ W
-            # full (m+1) Newton system including intercept
+            # full (m+1) Newton system including intercept (float64 solve)
             Hfull = np.empty((m + 1, m + 1))
             Hfull[:m, :m] = H
             Hfull[:m, m] = Hxb
             Hfull[m, :m] = Hxb
             Hfull[m, m] = Hb
-            gfull = np.concatenate([g, [gb]])
+            gfull = np.concatenate([g.astype(np.float64), [gb]])
             try:
                 step = np.linalg.solve(Hfull, gfull)
             except np.linalg.LinAlgError:
                 step = np.linalg.lstsq(Hfull, gfull, rcond=None)[0]
-            w -= step[:m]
+            w = w - step[:m].astype(wd)
             b -= step[m]
-            if np.max(np.abs(step)) < self.tol:
+            if np.max(np.abs(step)) < tol:
                 break
-        self.coef_ = w / sd
+        self.coef_ = (w / sd).astype(wd)
         self.intercept_ = float(b - (mu / sd) @ w)
         return self
 
     def decision_function(self, X: np.ndarray) -> np.ndarray:
-        X = np.asarray(X, dtype=np.float64)
+        X = np.asarray(X)
+        if X.dtype not in (np.float32, np.float64):
+            X = X.astype(np.float64)
         if self.coef_ is not None and self.coef_.ndim == 2:
             return X @ self.coef_.T + np.asarray(self.intercept_)[None, :]
         return X @ self.coef_ + self.intercept_
@@ -255,10 +283,13 @@ def linear_shap_values(coef: np.ndarray, X_train: np.ndarray, X_val: np.ndarray)
 
     1-D coef -> (n_val, m); 2-D OvR coef (k, m) -> per-output (n_val, m, k),
     the multi-output layout the reference reduces with max-over-outputs
-    (shap_explainer.py:173-177)."""
+    (shap_explainer.py:173-177). Runs in the matrix's work dtype (float32
+    blocks stay float32 end-to-end; the partial is float32 anyway)."""
     coef = np.asarray(coef)
-    mu = np.asarray(X_train, dtype=np.float64).mean(axis=0)
-    centered = np.asarray(X_val, dtype=np.float64) - mu
+    X_train = np.asarray(X_train)
+    wd = _work_dtype(X_train)
+    mu = X_train.astype(wd, copy=False).mean(axis=0, dtype=wd)
+    centered = np.asarray(X_val).astype(wd, copy=False) - mu
     if coef.ndim == 2:
         return centered[:, :, None] * coef.T[None, :, :]
     return centered * coef[None, :]
@@ -274,9 +305,14 @@ def impute_nonfinite(X_train: np.ndarray, X_val: np.ndarray):
     for all-non-finite columns). The reference's robustness tests feed NaN /
     Inf columns and rows and rely on catboost's native missing-value
     handling (tests/test_catboost_powershap.py:44-113); the vendored linear
-    models get the equivalent via train-only imputation — no val leakage."""
-    X_train = np.asarray(X_train, dtype=np.float64)
-    X_val = np.asarray(X_val, dtype=np.float64)
+    models get the equivalent via train-only imputation — no val leakage.
+    Dtype-preserving: float32 blocks are checked and imputed in float32."""
+    X_train = np.asarray(X_train)
+    X_val = np.asarray(X_val)
+    if X_train.dtype not in (np.float32, np.float64):
+        X_train = X_train.astype(np.float64)
+    if X_val.dtype not in (np.float32, np.float64):
+        X_val = X_val.astype(np.float64)
     if np.isfinite(X_train).all() and np.isfinite(X_val).all():
         return X_train, X_val  # common case: no copies in the hot loop
     X_train, X_val = X_train.copy(), X_val.copy()
@@ -473,17 +509,20 @@ def resolve_kernel(model=None):
 # ---------------------------------------------------------------------------
 
 
-def _feature_matrix(pdf: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
-    """Block -> float64 matrix. Non-numeric (string / pandas category)
-    feature columns are ordinal-encoded per block — the stand-in for the
-    reference's catboost ``cat_features`` native handling
+def _feature_matrix(
+    pdf: pd.DataFrame, feature_cols: list[str], dtype=np.float64
+) -> np.ndarray:
+    """Block -> float matrix in ``dtype``. Non-numeric (string / pandas
+    category) feature columns are ordinal-encoded per block — the stand-in
+    for the reference's catboost ``cat_features`` native handling
     (tests/test_catboost_powershap.py:88-113); NaN codes stay NaN and flow
     into the kernel's train-mean imputation."""
+    dtype = np.dtype(dtype)
     cols = []
     for c in feature_cols:
         s = pdf[c]
         if isinstance(s.dtype, pd.CategoricalDtype):
-            codes = s.cat.codes.to_numpy(dtype=np.float64, copy=True)
+            codes = s.cat.codes.to_numpy(dtype=dtype, copy=True)
             codes[codes < 0] = np.nan
             cols.append(codes)
         elif s.dtype == object or str(s.dtype).startswith("str"):
@@ -491,15 +530,15 @@ def _feature_matrix(pdf: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
             # coerce first; factorize ONLY when genuinely non-numeric
             num = pd.to_numeric(s, errors="coerce")
             if (num.isna().to_numpy() == s.isna().to_numpy()).all():
-                cols.append(num.to_numpy(dtype=np.float64, copy=True))
+                cols.append(num.to_numpy(dtype=dtype, copy=True))
             else:
                 codes, _ = pd.factorize(s, use_na_sentinel=True)
-                codes = codes.astype(np.float64)
+                codes = codes.astype(dtype)
                 codes[codes < 0] = np.nan
                 cols.append(codes)
         else:
-            cols.append(s.to_numpy(dtype=np.float64, copy=True))
-    return np.column_stack(cols) if cols else np.empty((len(pdf), 0))
+            cols.append(s.to_numpy(dtype=dtype, copy=True))
+    return np.column_stack(cols) if cols else np.empty((len(pdf), 0), dtype=dtype)
 
 
 def prepare_block(
@@ -510,6 +549,7 @@ def prepare_block(
     group_col: str | None = None,
     row_key_col: str | None = None,
     sort_cols: list[str] | None = None,
+    matrix_dtype=np.float32,
 ) -> dict:
     """Build the reusable per-partition fit context ONCE.
 
@@ -521,13 +561,21 @@ def prepare_block(
     copy improves the ratio, not just the wall time). ``Xp`` is allocated
     with one spare trailing column for the random probe — each iteration
     overwrites ONLY that column in place instead of column_stacking a
-    fresh (n, m+1) copy."""
+    fresh (n, m+1) copy.
+
+    ``matrix_dtype`` defaults to float32: the fit matrix at half width
+    halves every downstream memory pass (Arrow transfer, standardize,
+    GEMMs — the kernels follow the matrix dtype, see ``_work_dtype``) and
+    float32 resolution (~7 decimal digits) is far beyond what a
+    shuffled-probe significance test on mean-|SHAP| statistics needs; the
+    checkpointed partials were float32 already. Pass float64 for exact
+    parity with a float64 single-node run."""
     if sort_cols:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     n = len(pdf)
-    X = _feature_matrix(pdf, feature_cols)
+    X = _feature_matrix(pdf, feature_cols, dtype=matrix_dtype)
     m = X.shape[1]
-    Xp = np.empty((n, m + 1), dtype=np.float64)
+    Xp = np.empty((n, m + 1), dtype=matrix_dtype)
     Xp[:, :m] = X
     return {
         "n": n,
@@ -625,6 +673,7 @@ def explain_iteration(
     sort_cols: list[str] | None = None,
     split_override: tuple | None = None,
     fit_kwargs: dict | None = None,
+    matrix_dtype=np.float32,
 ) -> pd.DataFrame:
     """One-shot convenience wrapper: ``prepare_block`` + ``explain_prepared``.
     Batched callers (the applyInPandas group fn, the pandas backend loop)
@@ -639,6 +688,7 @@ def explain_iteration(
         group_col=group_col,
         row_key_col=row_key_col,
         sort_cols=sort_cols,
+        matrix_dtype=matrix_dtype,
     )
     return explain_prepared(
         blk,
