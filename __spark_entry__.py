@@ -664,6 +664,72 @@ def q_powershap_selection(spark, sf_dir):
     )
 
 
+_STUMPS_ORACLE_CK = None
+
+
+def _stumps_selection_iterations(spark):
+    """Distributed nonlinear-selection run: the gradient-boosted-stumps
+    kernel through the SAME applyInPandas partition grid as the flagship
+    loop (2 hash partitions via part_by, per-iteration checkpointing),
+    returning the persisted LONG iterations table. Bit-deterministic
+    (seeded probes, quantile threshold grid with first-argmin tie-break),
+    so the partials must equal the committed fixture copy — proving the
+    nonlinear kernel is bit-stable under partitioning, not just in the
+    driver-side pandas path that q_stumps_selection exercises."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    from powershap_spark import synth
+    from powershap_spark.engine import PowerShapSelector
+    from powershap_spark.kernel import GradientBoostedStumpsModel
+    from powershap_spark.pipeline import select_features
+
+    global _STUMPS_ORACLE_CK
+    if _STUMPS_ORACLE_CK is None:
+        _STUMPS_ORACLE_CK = tempfile.mkdtemp(prefix="powershap_stumps_oracle_")
+        atexit.register(shutil.rmtree, _STUMPS_ORACLE_CK, ignore_errors=True)
+    ck = _STUMPS_ORACLE_CK
+    shutil.rmtree(ck, ignore_errors=True)
+    t = synth.transcripts(spark, n_conv=300, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.3)
+    sel = PowerShapSelector(
+        model=GradientBoostedStumpsModel(n_stumps=20),
+        power_iterations=5,
+        n_parts=2,
+        part_by="conv_id",
+        sort_cols=["conv_id", "ts"],
+        min_rows_per_part=100,
+        checkpoint_dir=ck,
+        run_id="stumps_oracle",
+    )
+    select_features(t, p, selector=sel)
+    files = sorted(
+        glob.glob(_os.path.join(ck, "stumps_oracle", "iter=main.*.parquet"))
+    )
+    assert files, "stumps selection checkpoints missing"
+    return spark.read.parquet(*files).select(
+        "iteration", "part_id", "feature", "mean_abs_shap", "n_val_rows"
+    )
+
+
+def q_stumps_selection_spark(spark, sf_dir):
+    """Nonlinear selection statistics recomputed distributively from the
+    stumps run's checkpointed partials (same A3/A4/A6 aggregation as
+    q_powershap_selection); the DuckDB oracle recomputes them from the
+    committed fixture copy of the long table — a bit-exactness check on
+    the distributed stumps fits."""
+    from powershap_spark.stats import selection_statistics_spark
+
+    out = selection_statistics_spark(_stumps_selection_iterations(spark))
+    return out.select(
+        "feature",
+        F.round("impact", 6).alias("impact"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 def _stumps_selection_pdf():
     """Deterministic nonlinear selection run (numpy only): the stumps
     kernel on a |x|-threshold signal the linear kernel cannot see."""
@@ -918,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_features": q_transcript_features,
         "powershap_selection": q_powershap_selection,
         "stumps_selection": q_stumps_selection,
+        "stumps_selection_spark": q_stumps_selection_spark,
         "image_features_fake": q_image_features_fake,
         "image_features_real": q_image_features_real,
         "audio_features_real": q_audio_features_real,
@@ -1567,6 +1634,27 @@ def oracle_sql() -> dict[str, str]:
         "stumps_selection": f"""
             SELECT feature, impact, p_value
             FROM read_parquet('{_FIXTURE_DIR}/stumps_selection_expected.parquet')
+        """,
+        # distributed stumps partials: same A3/A4/A6 recompute as
+        # powershap_selection, over the committed stumps iterations table
+        "stumps_selection_spark": f"""
+            WITH combined AS (
+              SELECT iteration, feature,
+                     sum(mean_abs_shap::DOUBLE * n_val_rows)
+                       / sum(n_val_rows) AS v
+              FROM read_parquet('{_FIXTURE_DIR}/stumps_iterations.parquet')
+              GROUP BY iteration, feature
+            ), r AS (
+              SELECT avg(v) AS mr FROM combined
+              WHERE feature = 'random_uniform_feature'
+            )
+            SELECT feature,
+                   round(avg(v), 6) AS impact,
+                   round((sum(CASE WHEN v < (SELECT mr FROM r) THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN v <= (SELECT mr FROM r) THEN 1 ELSE 0 END)
+                        + max(CASE WHEN v = (SELECT mr FROM r) THEN 1 ELSE 0 END))
+                        / (2.0 * count(*)), 6) AS p_value
+            FROM combined GROUP BY feature
         """,
         "image_features_real": f"""
             SELECT doc_id, mean_intensity, std_intensity

@@ -83,18 +83,27 @@ def image_features(
     media_col: str = "media",
     fake: bool = True,
     batch_size_hint: int = 1024,
+    decoder=None,
 ) -> DataFrame:
     """Per-image features via mapInPandas: mean/std channel intensity.
-    The UDF body is batch-vectorized; decode is the stubbed step."""
+    The UDF body is batch-vectorized; decode is the pluggable step.
+
+    ``decoder``: optional ``bytes -> HxWxC uint8 ndarray`` callable that
+    replaces the stdlib/fake decode — the seam where Pillow/opencv plug in
+    on clusters that have them (e.g. ``lambda b: np.asarray(
+    PIL.Image.open(io.BytesIO(b)).convert("RGB"))``). Must be picklable
+    (module-level function). Default: PNG via the stdlib codec
+    (``fake=False``) or the deterministic hash decoder (``fake=True``)."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", mean_intensity double, std_intensity double"
+    dec = decoder or (lambda b: decode_image(b, fake=fake))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             means, stds = [], []
             for blob in pdf[media_col]:
-                img = decode_image(bytes(blob), fake=fake)
+                img = dec(bytes(blob))
                 means.append(float(img.mean()))
                 stds.append(float(img.std()))
             pdf = pdf.copy()
@@ -124,20 +133,23 @@ def decode_audio(media: bytes, fake: bool = False, n_samples: int = 1024) -> np.
 
 
 def audio_features(
-    df: DataFrame, media_col: str = "media", fake: bool = True
+    df: DataFrame, media_col: str = "media", fake: bool = True, decoder=None
 ) -> DataFrame:
     """Per-clip audio features via mapInPandas: RMS level + zero-crossing
     rate over the decoded waveform. Vectorized numpy per batch; decode is
-    the stubbed step."""
+    the pluggable step (``decoder``: ``bytes -> float waveform ndarray``,
+    the seam for soundfile/ffmpeg where they exist; default stdlib WAV /
+    fake hash decoder)."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", rms double, zero_crossing_rate double"
+    dec = decoder or (lambda b: decode_audio(b, fake=fake))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rms, zcr = [], []
             for blob in pdf[media_col]:
-                w = decode_audio(bytes(blob), fake=fake)
+                w = dec(bytes(blob))
                 rms.append(float(np.sqrt(np.mean(w * w))))
                 zcr.append(float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))))
             pdf = pdf.copy()
@@ -164,10 +176,12 @@ def image_resize(
     media_col: str = "media",
     fake: bool = True,
     out_format: str = "raw",
+    decoder=None,
 ) -> DataFrame:
     """Batch image resize via mapInPandas: decode (REAL for PNG, fake
-    otherwise) -> nearest-neighbor resize (pure numpy) -> bytes out, with
-    the width/height metadata updated to the target shape.
+    otherwise; ``decoder`` plugs in an external library, same contract as
+    image_features) -> nearest-neighbor resize (pure numpy) -> bytes out,
+    with the width/height metadata updated to the target shape.
 
     ``out_format``: "raw" emits packed HxWxC sample bytes (cheapest;
     consumer must know the shape from the metadata columns); "png" emits a
@@ -179,12 +193,13 @@ def image_resize(
         for f in df.schema.fields
         if f.name not in ("width", "height")
     ) + ", width int, height int, resized binary"
+    dec = decoder or (lambda b: decode_image(b, fake=fake))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for blob in pdf[media_col]:
-                img = decode_image(bytes(blob), fake=fake)
+                img = dec(bytes(blob))
                 small = resize_image(img, target_w, target_h)
                 out.append(
                     encode_png(small) if out_format == "png" else small.tobytes()
@@ -251,7 +266,16 @@ def frame_sample(
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse PNG scanline filtering (types 0-4) for 8-bit samples."""
+    """Reverse PNG scanline filtering (types 0-4) for 8-bit samples.
+
+    Filters None/Up/Sub are fully vectorized (Sub is an exact per-channel
+    prefix sum mod 256 — mod distributes over addition, so cumsum & 0xFF
+    reproduces the sequential byte arithmetic bit-for-bit). Average and
+    Paeth have a true left-neighbor data dependency, so they fall back to
+    a per-PIXEL Python loop with the channel lanes vectorized — the one
+    per-row-Python path left in the repo, inherent to a stdlib-only
+    decoder; production clusters plug Pillow/libjpeg through the
+    ``decoder=`` seam on image_features/image_resize instead."""
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
@@ -266,24 +290,32 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
             cur = row
         elif ftype == 2:  # Up
             cur = (row + prior) & 0xFF
-        else:  # Sub / Average / Paeth need the left neighbor -> sequential
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                up = int(prior[x])
-                if ftype == 1:  # Sub
-                    v = row[x] + left
-                elif ftype == 3:  # Average
-                    v = row[x] + ((left + up) >> 1)
-                elif ftype == 4:  # Paeth
-                    ul = int(out[y - 1][x - ch]) if (y > 0 and x >= ch) else 0
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256, vectorized
+            cur = (
+                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel
+            r2 = row.reshape(w, ch)
+            p2 = prior.reshape(w, ch)
+            c2 = np.zeros((w, ch), np.int32)
+            zero = np.zeros(ch, np.int32)
+            for x in range(w):
+                left = c2[x - 1] if x > 0 else zero
+                up = p2[x]
+                if ftype == 3:  # Average
+                    v = r2[x] + ((left + up) >> 1)
+                else:  # Paeth
+                    ul = p2[x - 1] if x > 0 else zero
                     p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                    v = row[x] + pred
-                else:
-                    raise ValueError(f"unknown PNG filter type {ftype}")
-                cur[x] = v & 0xFF
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                    v = r2[x] + pred
+                c2[x] = v & 0xFF
+            cur = c2.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
     return out.reshape(h, w, ch)
 

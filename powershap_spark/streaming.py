@@ -247,6 +247,9 @@ def streaming_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_ttl_minutes: float | None = None,
+    ttl_mode: str = "processing",
+    event_ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming exact deduplication for a continuous document feed: key
     the stream by the 64-bit hash of the normalized text (the same
@@ -261,24 +264,41 @@ def streaming_exact_dedup(
     on the text hash. This is the ingest-time companion to the batch
     dedup family: dedup-on-arrival instead of dedup-by-rescan.
 
-    ``state_ttl_minutes`` bounds the state store on an endless feed
-    (processing-time timeout: a text's seen-flag expires after that long
-    without re-arrival). The documented tradeoff: a duplicate arriving
-    AFTER its flag expired is re-emitted — size the TTL to the dedup
-    horizon the pipeline actually needs; None (default) keeps state
-    forever. CONTINUOUS queries only: a processing-time timeout keeps
-    scheduling batches to service future expiries, so a
-    ``trigger(availableNow=True)`` drain never terminates with a TTL set —
-    use None for bounded drains (measured, not hypothetical)."""
+    ``state_ttl_minutes`` bounds the state store on an endless feed: a
+    text's seen-flag expires after that long without re-arrival. The
+    documented tradeoff: a duplicate arriving AFTER its flag expired is
+    re-emitted — size the TTL to the dedup horizon the pipeline actually
+    needs; None (default) keeps state forever. Two clocks:
+
+    - ``ttl_mode="processing"`` (wall clock): CONTINUOUS queries only — a
+      processing-time timeout keeps scheduling batches to service future
+      expiries, so a ``trigger(availableNow=True)`` drain never terminates
+      with a TTL set (measured, not hypothetical).
+    - ``ttl_mode="event"``: the TTL rides the EVENT-TIME watermark of
+      ``event_ts_col`` (``withWatermark(event_ts_col, watermark_delay)``
+      is applied here): a seen-flag expires once the watermark passes
+      last-arrival-ts + TTL. Because the watermark only advances with
+      data, bounded ``availableNow`` drains terminate normally — this is
+      the mode for bounded reprocessing with TTL semantics. Expiry is
+      serviced by the first batch AFTER the watermark passes; a duplicate
+      arriving in that same batch still sees the flag (data handling
+      takes precedence over timeout handling) and is suppressed."""
     from .operators.dedup import normalize_text
 
-    keyed = stream.select(
+    if ttl_mode not in ("processing", "event"):
+        raise ValueError(f"ttl_mode must be processing|event, got {ttl_mode!r}")
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    event = ttl_mode == "event" and ttl_ms is not None
+
+    cols = [
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
         F.xxhash64(normalize_text(text_col)).alias("__h"),
-    )
-
-    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    ]
+    if event:
+        stream = stream.withWatermark(event_ts_col, watermark_delay)
+        cols.append(F.col(event_ts_col).alias("__ts"))
+    keyed = stream.select(*cols)
 
     def fn(
         key: Tuple[int],
@@ -290,12 +310,20 @@ def streaming_exact_dedup(
             return
         # A large group arrives as MULTIPLE Arrow chunks within one batch
         # (arrow.maxRecordsPerBatch); the min-id tie-break must consider
-        # them ALL before emitting, so drain first, emit once.
-        best = None
-        if not state.exists:
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
+        # them ALL before emitting, so drain first, emit once. The event
+        # mode also needs the batch's max event ts to re-arm the timeout,
+        # so it drains even when the flag already exists.
+        best, max_ts = None, None
+        fresh = not state.exists
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if event:
+                m = pdf["__ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+            elif not fresh:
+                break  # nothing needed from the data: suppress fast
+            if fresh:
                 cand = pdf.sort_values("doc_id", kind="mergesort").iloc[:1]
                 if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
                     best = cand
@@ -303,20 +331,28 @@ def streaming_exact_dedup(
             state.update((1,))
         if ttl_ms and (state.exists or best is not None):
             # must be re-armed every invocation (Spark clears it)
-            state.setTimeoutDuration(ttl_ms)
+            if event:
+                if max_ts is not None:
+                    state.setTimeoutTimestamp(
+                        int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
+                    )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         if best is not None:
             yield best[["doc_id", "text"]]
 
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return keyed.groupBy("__h").applyInPandasWithState(
         fn,
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )
 
 

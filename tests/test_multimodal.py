@@ -66,6 +66,36 @@ def test_image_features_columns(spark, media):
     assert out.mean_intensity.between(0, 255).all()
 
 
+def test_custom_decoder_seam(spark, media):
+    """decoder= replaces the stdlib/fake decode inside the mapInPandas
+    batch loop (the Pillow/soundfile plug-point): features reflect the
+    injected decoder's output, not the default decoder's. The decoders
+    are closures so cloudpickle ships them by value (a production plug-in
+    would be an importable module-level function instead)."""
+
+    def _const_img_decoder(blob: bytes) -> np.ndarray:
+        # stand-in for a Pillow-backed decoder: every blob decodes to a
+        # constant 2x2 gray image at the blob's first byte's intensity
+        v = blob[0] if blob else 0
+        return np.full((2, 2, 3), v, dtype=np.uint8)
+
+    def _const_wave_decoder(blob: bytes) -> np.ndarray:
+        return np.full(16, 0.5, dtype=np.float32)
+
+    out = image_features(media, decoder=_const_img_decoder).toPandas()
+    # constant image -> std 0, mean == first blob byte ('I' of b"IMG:")
+    assert (out.std_intensity == 0.0).all()
+    assert (out.mean_intensity == float(ord("I"))).all()
+
+    aud = audio_features(media, decoder=_const_wave_decoder).toPandas()
+    assert np.allclose(aud.rms, 0.5)
+    assert (aud.zero_crossing_rate == 0.0).all()
+
+    rez = image_resize(media, target_w=4, target_h=4, decoder=_const_img_decoder).toPandas()
+    assert rez.resized.map(len).eq(4 * 4 * 3).all()
+    assert all(set(bytes(b)) == {ord("I")} for b in rez.resized)
+
+
 def test_real_png_pipeline_end_to_end(spark):
     """REAL decode path: actual PNG bytes (all five scanline filters
     exercised by the round-trip property test below) flow through

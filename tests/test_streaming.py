@@ -395,6 +395,110 @@ def test_streaming_pit_join_out_of_order_feature_dropped(spark, tmp_path):
     assert not (got.fvalue == 9.0).any()
 
 
+def test_streaming_exact_dedup_event_ttl_bounded_drain(spark, tmp_path):
+    """Event-time TTL (ttl_mode="event"): the seen-flag expires when the
+    WATERMARK passes last-arrival + TTL, so a bounded availableNow drain
+    terminates (the processing-time mode provably cannot) AND still
+    re-emits a duplicate that arrives after its flag expired.
+
+    Batches: [A@t0] -> emit; [B@t0+3ttl] -> emit, watermark jumps past
+    A's expiry; [C@...] -> emit, services A's timed-out state; [A@...]
+    -> RE-emitted (flag was expired). Termination of run_stream_to_table
+    (availableNow + awaitTermination) is itself the bounded-drain claim."""
+    from powershap_spark.streaming import run_stream_to_table, streaming_exact_dedup
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = pd.Timestamp("2024-05-01")
+    ttl_min = 10.0  # 10 minutes of EVENT time — wall clock is irrelevant
+    batches = [
+        pd.DataFrame({"doc_id": [1], "text": ["aa bb"], "ts": [base]}),
+        pd.DataFrame(
+            {"doc_id": [2], "text": ["other doc"],
+             "ts": [base + pd.Timedelta(minutes=30)]}
+        ),
+        pd.DataFrame(
+            {"doc_id": [3], "text": ["third doc"],
+             "ts": [base + pd.Timedelta(minutes=31)]}
+        ),
+        pd.DataFrame(
+            {"doc_id": [9], "text": ["aa bb"],
+             "ts": [base + pd.Timedelta(minutes=32)]}
+        ),
+    ]
+    src = str(tmp_path / "ettl_src")
+    for b in batches:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_exact_dedup(
+        stream, state_ttl_minutes=ttl_min, ttl_mode="event", event_ts_col="ts"
+    )
+    # terminates because expiry is watermark-driven, not wall-clock-driven
+    run_stream_to_table(out, "stream_dedup_ettl", str(tmp_path / "ckpt_ettl"))
+    got = spark.sql(
+        "select doc_id from stream_dedup_ettl order by doc_id"
+    ).toPandas()
+    # 1 first arrival, 2/3 distinct texts, 9 the post-expiry re-emission
+    assert list(got.doc_id) == [1, 2, 3, 9]
+
+
+def test_streaming_exact_dedup_event_ttl_suppresses_within_horizon(spark, tmp_path):
+    """Within the event-time TTL horizon the duplicate stays suppressed."""
+    from powershap_spark.streaming import run_stream_to_table, streaming_exact_dedup
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = pd.Timestamp("2024-05-01")
+    batches = [
+        pd.DataFrame({"doc_id": [1], "text": ["aa bb"], "ts": [base]}),
+        pd.DataFrame(
+            {"doc_id": [9], "text": ["aa bb"],
+             "ts": [base + pd.Timedelta(minutes=5)]}
+        ),
+    ]
+    src = str(tmp_path / "ettl2_src")
+    for b in batches:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_exact_dedup(
+        stream, state_ttl_minutes=60.0, ttl_mode="event", event_ts_col="ts"
+    )
+    run_stream_to_table(out, "stream_dedup_ettl2", str(tmp_path / "ckpt_ettl2"))
+    got = spark.sql("select doc_id from stream_dedup_ettl2").toPandas()
+    assert list(got.doc_id) == [1]
+
+
 def test_streaming_exact_dedup_ttl_expires_state(spark, tmp_path):
     """TTL semantics on a CONTINUOUS query (availableNow never terminates
     with a processing-time timeout — documented): within the TTL a

@@ -146,6 +146,19 @@ def main():
     )
     print(f"wrote media_wav_small + audio_features_real_expected ({len(out)} rows)")
 
+    # distributed stumps-kernel iterations table: the stumps_selection_spark
+    # oracle recomputes impact/p-value from this committed copy while the
+    # live query regenerates the identical table through the applyInPandas
+    # grid (bit-stability of the nonlinear kernel under partitioning)
+    sp_st = (
+        entry._stumps_selection_iterations(spark)
+        .orderBy("iteration", "part_id", "feature")
+        .toPandas()
+    )
+    path = os.path.abspath(os.path.join(FIXTURE_DIR, "stumps_iterations.parquet"))
+    pq.write_table(pa.Table.from_pandas(sp_st, preserve_index=False), path, **kw)
+    print(f"wrote {path} ({len(sp_st)} rows)")
+
     # nonlinear (stumps) selection expected output — numpy-deterministic
     sp2 = entry._stumps_selection_pdf()
     path = os.path.abspath(
