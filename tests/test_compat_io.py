@@ -165,3 +165,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_transcripts_window_build_has_no_exchange(spark, tmp_path):
+    """The BENCH pipeline's window-feature build over a transcript table
+    STORED bucketed by conv_id (one file per bucket via a pre-repartition
+    on the bucket key) plans ZERO Exchange: the bucketed scan's
+    HashPartitioning satisfies the per-conversation window's required
+    distribution, so a stable 100-TB transcript store pays its shuffle
+    once at ingest and every feature build after that is per-bucket
+    parallel (tools/bench_bucketed.py measures the wall delta at sf1;
+    same results as the plain path, value-asserted here)."""
+    from powershap_spark import synth
+    from powershap_spark.pipeline import turn_features
+    from powershap_spark.sources.tableio import write_bucketed
+
+    t = synth.transcripts(spark, n_conv=40, mean_turns=12)
+    write_bucketed(
+        t.repartition(4, "conv_id"),
+        "bk_transcripts",
+        ["conv_id"],
+        n_buckets=4,
+        sort_cols=["conv_id", "turn_idx"],
+        path=str(tmp_path / "bk_t"),
+    )
+    try:
+        feats_b = turn_features(spark.table("bk_transcripts"), skew_safe=False)
+        plan = feats_b._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # identical values to the plain (shuffled) build
+        feats_p = turn_features(t, skew_safe=False)
+        key = ["conv_id", "turn_idx"]
+        pb = feats_b.toPandas().sort_values(key).reset_index(drop=True)
+        pp = feats_p.toPandas().sort_values(key).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(pb[pp.columns], pp)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_transcripts")

@@ -52,25 +52,38 @@ def build_once(spark, sf: float, base: str):
     plain = f"{base}/transcripts_plain"
     probes = f"{base}/probes"
     done = f"{base}/.done_sf{sf}"
-    if os.path.exists(done):
-        return plain, probes
-    t, p = build_transcripts(spark, sf)
-    t.write.mode("overwrite").parquet(plain)
-    p.write.mode("overwrite").parquet(probes)
-    # one file per bucket: pre-repartition on the bucket key with the same
-    # Murmur3 hash partitioning bucketBy uses, so every write task holds
-    # exactly one bucket — required for the scan to expose the sort order
-    t2 = spark.read.parquet(plain).repartition(N_BUCKETS, "conv_id")
-    write_bucketed(
-        t2,
-        "bench_transcripts_bucketed",
-        ["conv_id"],
-        n_buckets=N_BUCKETS,
-        sort_cols=["conv_id", "turn_idx"],
-        path=f"{base}/transcripts_bucketed",
-    )
-    with open(done, "w") as f:
-        f.write("ok")
+    if not os.path.exists(done):
+        t, p = build_transcripts(spark, sf)
+        t.write.mode("overwrite").parquet(plain)
+        p.write.mode("overwrite").parquet(probes)
+        # one file per bucket: pre-repartition on the bucket key with the
+        # same Murmur3 hash partitioning bucketBy uses, so every write task
+        # holds exactly one bucket — required for the scan to expose the
+        # sort order
+        t2 = spark.read.parquet(plain).repartition(N_BUCKETS, "conv_id")
+        write_bucketed(
+            t2,
+            "bench_transcripts_bucketed",
+            ["conv_id"],
+            n_buckets=N_BUCKETS,
+            sort_cols=["conv_id", "turn_idx"],
+            path=f"{base}/transcripts_bucketed",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    # saveAsTable registers in the SESSION-LOCAL in-memory catalog (no
+    # Hive metastore in this sandbox), so re-register the existing files
+    # by DDL on every run
+    if not spark.catalog.tableExists("bench_transcripts_bucketed"):
+        spark.sql(f"""
+            CREATE TABLE bench_transcripts_bucketed (
+              conv_id STRING, turn_idx INT, role STRING, text STRING,
+              tool STRING, ts TIMESTAMP)
+            USING PARQUET
+            CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+            INTO {N_BUCKETS} BUCKETS
+            LOCATION '{base}/transcripts_bucketed'
+        """)
     return plain, probes
 
 
