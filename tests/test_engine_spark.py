@@ -34,6 +34,39 @@ def test_spark_fit_matches_pandas_fit(spark, clf_xy):
     assert local.selected_features_ == dist.selected_features_
 
 
+def test_backend_caches_float32_matrix(spark, clf_xy):
+    """matrix_dtype='float32' (the default) must reach the CACHED Spark
+    projection — feature columns narrowed to float at the source so the
+    cache, the part_id shuffle, and the Arrow transfer all halve — while
+    float64 leaves the source types untouched; and both dtypes must agree
+    on the selected set on well-separated data."""
+    from powershap_spark.engine import SparkExplainBackend
+
+    X, y = clf_xy
+    sdf = _as_spark(spark, X, y)
+    feats = list(X.columns)
+    be32 = SparkExplainBackend(sdf, feats, "label", sort_cols=["row_id"])
+    assert all(
+        be32.df.schema[c].dataType.typeName() == "float" for c in feats
+    )
+    be64 = SparkExplainBackend(
+        sdf, feats, "label", sort_cols=["row_id"], matrix_dtype="float64"
+    )
+    assert all(
+        be64.df.schema[c].dataType.typeName() == "double" for c in feats
+    )
+    be32.release()
+    be64.release()
+
+    sel32 = PowerShapSelector(power_iterations=6, sort_cols=["row_id"]).fit(
+        sdf, label_col="label", feature_cols=feats
+    )
+    sel64 = PowerShapSelector(
+        power_iterations=6, sort_cols=["row_id"], matrix_dtype="float64"
+    ).fit(sdf, label_col="label", feature_cols=feats)
+    assert sel32.selected_features_ == sel64.selected_features_
+
+
 def test_partition_parallel_selects_informative(spark, clf_xy):
     X, y = clf_xy
     sdf = _as_spark(spark, X, y)
