@@ -274,6 +274,14 @@ def write_report(n, sf, repeat):
         "the window phases. The process-isolated cells remove the shared-JVM",
         "component (heap, GC, allocator) from that bound.",
         "",
+        "The bound is MEASURED, not inferred (round 5,",
+        "`tools/bench_stream.py` + BENCH/ANALYSIS_r05.md §3b-bis): a",
+        "multiprocess STREAM triad puts this host's best-case N -> 4N",
+        "efficiency for any pure-streaming workload at ~0.49 (64 GB/s",
+        "aggregate at 8 processes vs 124 GB/s at 32). The window cells sit",
+        "just under that hardware bound; the selection cells exceed it via",
+        "arithmetic intensity.",
+        "",
         "## Notes",
         "",
         '- Skew policy: `skew_safe="auto"` — per-conversation windows',
