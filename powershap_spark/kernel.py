@@ -23,6 +23,8 @@ semantics of ``shap.explainers.Linear`` (shap_explainer.py:336).
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -117,11 +119,17 @@ def train_test_split_indices(
 # ---------------------------------------------------------------------------
 
 
-_BUF_POOL: dict = {}
+_BUF_TLS = threading.local()
+
+# Per-role slot cap: CV workloads alternate a handful of fold shapes (k
+# distinct (n_train, n_val) pairs); a few LRU slots per role keep each
+# shape's buffer resident instead of reallocating on every alternation,
+# while still bounding what an idle worker pins.
+_POOL_SLOTS_PER_ROLE = 4
 
 
 def _pooled(role: str, shape, dtype) -> np.ndarray:
-    """Reusable per-process work buffer for the hot fit loop.
+    """Reusable per-thread work buffer for the hot fit loop.
 
     Every iteration used to allocate fresh n x m temporaries (train/val
     copies, the standardized design, the weighted-Hessian workspace);
@@ -134,14 +142,40 @@ def _pooled(role: str, shape, dtype) -> np.ndarray:
     the lever that moves the N->4N efficiency RATIO, not just wall time
     (the 4N side is the one pushing the DRAM ceiling). Buffers are always
     fully overwritten before use (np.take/subtract/multiply with out=),
-    so results are bit-identical to fresh allocations. Python UDF workers
-    process one task at a time, so a process-global pool is race-free."""
-    key = role
-    buf = _BUF_POOL.get(key)
-    if buf is None or buf.shape != tuple(shape) or buf.dtype != np.dtype(dtype):
-        buf = np.empty(shape, dtype)
-        _BUF_POOL[key] = buf
+    so results are bit-identical to fresh allocations.
+
+    The pool is THREAD-local (not merely process-global): Spark's Python
+    UDF workers run one task at a time, but PandasExplainBackend can run
+    in two driver threads at once (concurrent selector fits in a
+    notebook) — a shared pool there would silently corrupt fit matrices.
+    Each role keeps up to ``_POOL_SLOTS_PER_ROLE`` LRU (shape, dtype)
+    slots so alternating CV-fold shapes don't thrash a single slot;
+    ``clear_buffer_pool()`` releases everything the calling thread pins."""
+    pool = getattr(_BUF_TLS, "pool", None)
+    if pool is None:
+        pool = _BUF_TLS.pool = {}
+    slots = pool.get(role)
+    if slots is None:
+        slots = pool[role] = OrderedDict()
+    key = (tuple(shape), np.dtype(dtype))
+    buf = slots.get(key)
+    if buf is None:
+        buf = np.empty(*key)
+        slots[key] = buf
+        if len(slots) > _POOL_SLOTS_PER_ROLE:
+            slots.popitem(last=False)  # evict least-recently-used
+    else:
+        slots.move_to_end(key)
     return buf
+
+
+def clear_buffer_pool() -> None:
+    """Release every work buffer the CALLING thread's pool pins. Call after
+    a large one-off fit on a long-lived driver/worker so idle threads don't
+    hold the largest-ever block's buffers; the next fit simply
+    reallocates."""
+    if getattr(_BUF_TLS, "pool", None):
+        _BUF_TLS.pool.clear()
 
 
 def _work_dtype(X: np.ndarray) -> np.dtype:
@@ -329,10 +363,11 @@ def linear_shap_values(
         return (X_val - mu)[:, :, None] * coef.T[None, :, :]
     if not reuse_buffer:
         return (X_val - mu) * coef[None, :]
-    # hot path (the batched explain loop): the result lives in a pooled
-    # buffer the caller must consume before the next kernel call —
-    # elementwise product overwrites the centered values in place (same
-    # positions, identical values)
+    # hot path (the batched explain loop): the result ALIASES the pooled
+    # buffer and MUST be consumed before the next kernel/_pooled call —
+    # explain_prepared honors this by taking np.abs(out=) immediately.
+    # The elementwise product overwrites the centered values in place
+    # (same positions, identical values).
     centered = _pooled("shap_centered", X_val.shape, wd)
     np.subtract(X_val, mu, out=centered)
     np.multiply(centered, coef[None, :].astype(wd, copy=False), out=centered)
@@ -694,7 +729,15 @@ def explain_prepared(
         model=model,
         **(fit_kwargs or {}),
     )
-    shap_vals = np.abs(shap_vals)
+    # shap_vals may ALIAS pool memory (linear_shap_values reuse_buffer=True)
+    # — it must be consumed before any other kernel/_pooled call. Taking
+    # abs in place does exactly that (and skips a temporary); non-writable
+    # returns from external kernels fall back to a copy.
+    shap_vals = np.asarray(shap_vals)
+    if shap_vals.flags.writeable:
+        np.abs(shap_vals, out=shap_vals)
+    else:
+        shap_vals = np.abs(shap_vals)
     if shap_vals.ndim > 2:  # (n, m, outputs) -> max over outputs
         shap_vals = np.max(shap_vals, axis=-1)
     mean_abs = np.mean(shap_vals, axis=0).astype("float32")

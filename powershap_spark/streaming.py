@@ -320,7 +320,8 @@ def streaming_exact_dedup(
                 continue
             if event:
                 m = pdf["__ts"].max()
-                max_ts = m if max_ts is None else max(max_ts, m)
+                if not pd.isna(m):  # all-null ts chunk carries no clock
+                    max_ts = m if max_ts is None else max(max_ts, m)
             elif not fresh:
                 break  # nothing needed from the data: suppress fast
             if fresh:
@@ -332,10 +333,25 @@ def streaming_exact_dedup(
         if ttl_ms and (state.exists or best is not None):
             # must be re-armed every invocation (Spark clears it)
             if event:
+                # setTimeoutTimestamp raises below the CURRENT watermark, and
+                # applyInPandasWithState does NOT drop late rows for us — a
+                # key whose latest arrival lags the global max event time by
+                # more than the TTL (normal in multi-key availableNow drains)
+                # would otherwise poison the microbatch. Clamp to wm+1: such
+                # a key is already past its horizon, so expire it at the next
+                # timeout sweep. All-null-ts batches (max_ts None) fall back
+                # to wm+TTL so existing state stays expirable; if the
+                # watermark hasn't advanced yet (wm==0) there is nothing
+                # legal to arm — leave the timeout for a later batch.
+                wm = state.getCurrentWatermarkMs()
                 if max_ts is not None:
-                    state.setTimeoutTimestamp(
-                        int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
-                    )
+                    cand = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
+                elif wm > 0:
+                    cand = wm + ttl_ms
+                else:
+                    cand = None
+                if cand is not None:
+                    state.setTimeoutTimestamp(max(cand, wm + 1))
             else:
                 state.setTimeoutDuration(ttl_ms)
         if best is not None:
@@ -377,7 +393,10 @@ _PIT_STATE = StructType(
 
 
 def streaming_point_in_time_join(
-    features: DataFrame, probes: DataFrame
+    features: DataFrame,
+    probes: DataFrame,
+    state_ttl_minutes: float | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Online point-in-time join — the streaming counterpart of the batch
     ``asof_join`` (backward, inclusive): each probe (conv_id, ts, label)
@@ -402,7 +421,21 @@ def streaming_point_in_time_join(
     Implementation: tag + union the two streams, group by conv_id, fold
     each microbatch vectorized — sort by (ts, side) with features first on
     ties (inclusive as-of), np.searchsorted probes into the carried+batch
-    feature timeline. No per-row Python."""
+    feature timeline. No per-row Python.
+
+    ``state_ttl_minutes`` bounds the register store on an endless feed (the
+    same event-time TTL mechanism as ``streaming_exact_dedup``'s
+    ttl_mode="event"): an idle conversation's register is evicted once the
+    event-time watermark of the unioned stream passes its last activity +
+    TTL. The documented re-arrival contract after eviction: the
+    conversation starts cold — a probe arriving before any NEW feature
+    gets a null match (exactly like a never-seen conversation), and the
+    stale-arrival drop rule restarts from the first post-eviction feature
+    (an old feature re-sent after eviction re-seeds the register). Size
+    the TTL to the serving horizon; None (default) keeps registers
+    forever. Bounded ``availableNow`` drains terminate normally because
+    the clock is the data-driven watermark."""
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
     f = features.select(
         F.col("conv_id").cast("string").alias("conv_id"),
         F.col("ts"),
@@ -418,6 +451,8 @@ def streaming_point_in_time_join(
         F.col("label").cast("double").alias("label"),
     )
     u = f.unionByName(p)
+    if ttl_ms:
+        u = u.withWatermark("ts", watermark_delay)
 
     def fn(
         key: Tuple[str],
@@ -426,10 +461,19 @@ def streaming_point_in_time_join(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if state.hasTimedOut:
+            state.remove()  # idle conversation: free its register row
+            return
         last_fts, last_fval = state.get if state.exists else (None, None)
+        max_ms = None  # batch's max event time (ms) for TTL re-arming
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            if ttl_ms:
+                m = pdf["ts"].max()
+                if not pd.isna(m):
+                    mm = int(pd.Timestamp(m).value // 1_000_000)
+                    max_ms = mm if max_ms is None else max(max_ms, mm)
             pdf = pdf.sort_values(["ts", "__side"], kind="mergesort")
             ep = pdf["ts"].astype("int64").to_numpy()  # ns, exact
             side = pdf["__side"].to_numpy()
@@ -445,12 +489,20 @@ def streaming_point_in_time_join(
             pm = side == 1
             if pm.any():
                 p_ts = ep[pm]
-                idx = np.searchsorted(f_ts, p_ts, side="right") - 1
-                ok = idx >= 0
-                fts = pd.to_datetime(
-                    pd.Series(f_ts[np.maximum(idx, 0)]), unit="ns"
-                ).where(pd.Series(ok))
-                fv = np.where(ok, f_val[np.maximum(idx, 0)], np.nan)
+                if len(f_ts):
+                    idx = np.searchsorted(f_ts, p_ts, side="right") - 1
+                    ok = idx >= 0
+                    fts = pd.to_datetime(
+                        pd.Series(f_ts[np.maximum(idx, 0)]), unit="ns"
+                    ).where(pd.Series(ok))
+                    fv = np.where(ok, f_val[np.maximum(idx, 0)], np.nan)
+                else:
+                    # no register and no features in the batch: every probe
+                    # is a cold miss (a never-seen conversation, or the
+                    # first activity after a TTL eviction)
+                    npb = int(pm.sum())
+                    fts = pd.Series([pd.NaT] * npb, dtype="datetime64[ns]")
+                    fv = np.full(npb, np.nan)
                 out = pd.DataFrame(
                     {
                         "conv_id": pdf["conv_id"].to_numpy()[pm],
@@ -465,11 +517,25 @@ def streaming_point_in_time_join(
                 last_fts, last_fval = int(f_ts[-1]), float(f_val[-1])
         if last_fts is not None:
             state.update((last_fts, last_fval))
+        if ttl_ms and state.exists:
+            # same clamp discipline as streaming_exact_dedup's event mode:
+            # never arm below the current watermark (PySpark raises), fall
+            # back to wm+TTL when the batch had no usable event ts, skip
+            # entirely while the watermark is still 0
+            wm = state.getCurrentWatermarkMs()
+            cand = (max_ms + ttl_ms) if max_ms is not None else (
+                wm + ttl_ms if wm > 0 else None
+            )
+            if cand is not None:
+                state.setTimeoutTimestamp(max(cand, wm + 1))
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
     return u.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=_PIT_OUT,
         stateStructType=_PIT_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

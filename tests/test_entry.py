@@ -124,3 +124,52 @@ def test_stumps_selection_fixture_is_deterministic():
     pd.testing.assert_frame_equal(
         live.reset_index(drop=True), committed.reset_index(drop=True)
     )
+
+
+def test_matrix_dtype_float64_restores_prefloat32_partials(spark, tmp_path):
+    """matrix_dtype="float64" is documented to restore the pre-r5 (float64
+    fit matrix) numerics exactly. Pin that promise: the flagship selection
+    run with matrix_dtype="float64" must reproduce the ARCHIVED round-4
+    fixture (tests/fixtures/selection_iterations_f64.parquet, extracted
+    from git at the commit before the float32 switch) bit-for-bit. If this
+    drifts, the restore path no longer restores — that is a bug, not a
+    fixture-regeneration event."""
+    import glob
+    import os
+
+    from powershap_spark import synth
+    from powershap_spark.pipeline import select_features
+
+    ck = str(tmp_path / "f64_ck")
+    t = synth.transcripts(spark, n_conv=300, mean_turns=15)
+    p = synth.probes(spark, t, probe_frac=0.3)
+    select_features(
+        t,
+        p,
+        power_iterations=5,
+        n_parts=2,
+        part_by="conv_id",
+        checkpoint_dir=ck,
+        run_id="oracle",
+        matrix_dtype="float64",
+    )
+    files = sorted(glob.glob(os.path.join(ck, "oracle", "iter=main.*.parquet")))
+    assert files, "selection checkpoints missing"
+    live = (
+        spark.read.parquet(*files)
+        .select("iteration", "part_id", "feature", "mean_abs_shap", "n_val_rows")
+        .orderBy("iteration", "part_id", "feature")
+        .toPandas()
+    )
+    fix = os.path.join(
+        os.path.dirname(__file__), "fixtures", "selection_iterations_f64.parquet"
+    )
+    committed = pd.read_parquet(fix)
+    assert list(live.columns) == list(committed.columns)
+    assert len(live) == len(committed)
+    for c in ("iteration", "part_id", "feature", "n_val_rows"):
+        assert (live[c].values == committed[c].values).all(), c
+    assert (
+        live["mean_abs_shap"].values.view("uint32")
+        == committed["mean_abs_shap"].values.view("uint32")
+    ).all()

@@ -264,3 +264,52 @@ def test_gb_stumps_select_nonmonotone_feature_linear_misses():
     linear_sel = PowerShapSelector(power_iterations=8).fit(X, y)
     l_imp = linear_sel._processed_shaps_df.impact.abs()
     assert l_imp["sym"] < 5 * max(l_imp["noise_a"], l_imp["noise_b"])
+
+
+def test_buffer_pool_thread_local_and_shape_slots():
+    """The work-buffer pool is thread-local (concurrent driver-thread fits
+    must never share buffers), keeps one slot per (shape, dtype) up to a
+    small LRU cap (alternating CV-fold shapes reuse instead of thrash),
+    and clear_buffer_pool() releases the calling thread's pins."""
+    import threading
+
+    from powershap_spark.kernel import (
+        _POOL_SLOTS_PER_ROLE,
+        _BUF_TLS,
+        _pooled,
+        clear_buffer_pool,
+    )
+
+    clear_buffer_pool()
+    a = _pooled("t_role", (8, 3), np.float32)
+    # same shape+dtype -> same buffer object (the reuse claim)
+    assert _pooled("t_role", (8, 3), np.float32) is a
+    # a second shape occupies its own slot and does NOT evict the first
+    b = _pooled("t_role", (6, 3), np.float32)
+    assert b is not a
+    assert _pooled("t_role", (8, 3), np.float32) is a  # still resident
+    # alternating CV-fold shapes: both stay resident (no thrash)
+    assert _pooled("t_role", (6, 3), np.float32) is b
+    # dtype is part of the slot key
+    assert _pooled("t_role", (8, 3), np.float64) is not a
+
+    # LRU cap: flood with fresh shapes, the least-recently-used falls out
+    for i in range(_POOL_SLOTS_PER_ROLE + 1):
+        _pooled("t_role", (20 + i, 2), np.float32)
+    pool = _BUF_TLS.pool["t_role"]
+    assert len(pool) == _POOL_SLOTS_PER_ROLE
+
+    # thread isolation: another thread gets a DIFFERENT buffer object
+    other = {}
+
+    def grab():
+        other["buf"] = _pooled("t_role", (8, 3), np.float32)
+        other["buf"][:] = 7.0
+
+    th = threading.Thread(target=grab)
+    th.start()
+    th.join()
+    assert other["buf"] is not _pooled("t_role", (8, 3), np.float32)
+
+    clear_buffer_pool()
+    assert _BUF_TLS.pool == {}

@@ -547,3 +547,202 @@ def test_streaming_exact_dedup_ttl_expires_state(spark, tmp_path):
         assert list(rows().doc_id) == [0, 9]
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_event_ttl_lagging_key_no_crash(spark, tmp_path):
+    """A key whose latest arrival lags the global watermark by more than
+    the TTL must not poison the microbatch: setTimeoutTimestamp raises
+    below the current watermark, and applyInPandasWithState does NOT
+    pre-drop late rows, so the naive max_ts+TTL arm crashes the query
+    (and replays on restart). The operator clamps to watermark+1 instead.
+
+    Batches: [A@t0] -> emit; [B@t0+100m] -> emit, watermark jumps far
+    past A; [A-dup@t0+1m] -> a LAGGING arrival for A, > TTL behind the
+    watermark — pre-clamp this batch raised PySparkValueError; with the
+    clamp it completes and the duplicate stays suppressed (the flag is
+    present: data handling precedes timeout handling)."""
+    from powershap_spark.streaming import run_stream_to_table, streaming_exact_dedup
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = pd.Timestamp("2024-05-01")
+    batches = [
+        pd.DataFrame({"doc_id": [1], "text": ["aa bb"], "ts": [base]}),
+        pd.DataFrame(
+            {"doc_id": [2], "text": ["other doc"],
+             "ts": [base + pd.Timedelta(minutes=100)]}
+        ),
+        pd.DataFrame(
+            {"doc_id": [9], "text": ["aa bb"],
+             "ts": [base + pd.Timedelta(minutes=1)]}
+        ),
+    ]
+    src = str(tmp_path / "lag_src")
+    for b in batches:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_exact_dedup(
+        stream, state_ttl_minutes=10.0, ttl_mode="event", event_ts_col="ts"
+    )
+    run_stream_to_table(out, "stream_dedup_lag", str(tmp_path / "ckpt_lag"))
+    got = spark.sql("select doc_id from stream_dedup_lag order by doc_id").toPandas()
+    assert list(got.doc_id) == [1, 2]
+
+
+def test_streaming_exact_dedup_event_ttl_all_null_ts(spark, tmp_path):
+    """All-null event timestamps must not kill the query: naive
+    pd.Timestamp(NaT).value is a huge negative ms value that makes
+    setTimeoutTimestamp raise VALUE_NOT_POSITIVE. NaT chunks are skipped
+    when folding max_ts; a batch with no usable event ts falls back to
+    watermark+TTL (so existing state stays expirable) or arms nothing
+    while the watermark is still 0."""
+    from powershap_spark.streaming import run_stream_to_table, streaming_exact_dedup
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    base = pd.Timestamp("2024-05-01")
+    batches = [
+        # wm==0 during this batch AND one key carries only null ts
+        pd.DataFrame(
+            {"doc_id": [1, 5], "text": ["aa bb", "solo"], "ts": [base, pd.NaT]}
+        ),
+        # duplicate with null ts after the watermark advanced to `base`
+        pd.DataFrame({"doc_id": [9], "text": ["aa bb"], "ts": [pd.NaT]}),
+    ]
+    src = str(tmp_path / "nat_src")
+    for b in batches:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_exact_dedup(
+        stream, state_ttl_minutes=10.0, ttl_mode="event", event_ts_col="ts"
+    )
+    run_stream_to_table(out, "stream_dedup_nat", str(tmp_path / "ckpt_nat"))
+    got = spark.sql("select doc_id from stream_dedup_nat order by doc_id").toPandas()
+    # 1 and 5 are first arrivals; 9 is a within-horizon duplicate
+    assert list(got.doc_id) == [1, 5]
+
+
+def test_streaming_pit_join_register_ttl_eviction(spark, tmp_path):
+    """state_ttl_minutes bounds the PIT join's register store: an idle
+    conversation's register is evicted once the watermark passes its last
+    activity + TTL. After eviction the conversation restarts cold — a
+    probe before any new feature gets a NULL match (without the TTL it
+    would still match the old register), and a new feature re-seeds the
+    register (documented re-arrival contract). The availableNow drain
+    terminating is itself the bounded-drain claim."""
+    from powershap_spark.streaming import (
+        run_stream_to_table,
+        streaming_point_in_time_join,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    base = pd.Timestamp("2024-03-01")
+
+    def t(m):
+        return base + pd.Timedelta(minutes=m)
+
+    fschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("fvalue", DoubleType()),
+        ]
+    )
+    pschema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("label", DoubleType()),
+        ]
+    )
+    fcols, pcols = ["conv_id", "ts", "fvalue"], ["conv_id", "ts", "label"]
+    ef = pd.DataFrame(columns=fcols).astype({"fvalue": "float64"})
+    ep = pd.DataFrame(columns=pcols).astype({"label": "float64"})
+    batches = [
+        # B1: c1 register seeded; probe matches it
+        (pd.DataFrame([("c1", t(0), 1.0)], columns=fcols),
+         pd.DataFrame([("c1", t(1), 0.0)], columns=pcols)),
+        # B2: c2 activity jumps the watermark 100 min ahead (TTL is 10)
+        (pd.DataFrame([("c2", t(100), 5.0)], columns=fcols), ep),
+        # B3: c1's expired register is serviced at this batch's start
+        (ef, pd.DataFrame([("c2", t(101), 0.0)], columns=pcols)),
+        # B4: probe for the EVICTED c1 -> null (would match 1.0 sans TTL)
+        (ef, pd.DataFrame([("c1", t(102), 0.0)], columns=pcols)),
+        # B5: c1 re-seeds cold, next probe matches the new feature
+        (pd.DataFrame([("c1", t(103), 7.0)], columns=fcols),
+         pd.DataFrame([("c1", t(104), 0.0)], columns=pcols)),
+    ]
+    fsrc, psrc = str(tmp_path / "pitttl_f"), str(tmp_path / "pitttl_p")
+    for fb, pb in batches:
+        spark.createDataFrame(fb, schema=fschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(fsrc)
+        spark.createDataFrame(pb, schema=pschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(psrc)
+        time.sleep(1.1)
+
+    fstream = spark.readStream.schema(fschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(fsrc)
+    pstream = spark.readStream.schema(pschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(psrc)
+    out = streaming_point_in_time_join(
+        fstream, pstream, state_ttl_minutes=10.0
+    )
+    run_stream_to_table(out, "pit_ttl", str(tmp_path / "ckpt_pitttl"))
+    got = (
+        spark.sql("select * from pit_ttl")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert got.loc[got.ts == t(1), "fvalue"].iloc[0] == 1.0
+    assert got.loc[got.ts == t(101), "fvalue"].iloc[0] == 5.0
+    # the eviction claim: c1's old register is GONE
+    assert pd.isna(got.loc[got.ts == t(102), "fvalue"]).all()
+    # the cold-restart claim: a new feature re-seeds the register
+    row = got.loc[got.ts == t(104)].iloc[0]
+    assert row.fvalue == 7.0 and row.feature_ts == t(103)
