@@ -278,7 +278,7 @@ class SparkExplainBackend:
                     if d.schema[c].dataType.typeName() in numeric
                 }
             )
-        self.df = d.cache()
+        proj = d.cache()
         self.spark = df.sparkSession
 
         # a partition-parallel fit on a handful of rows is statistical noise:
@@ -286,11 +286,11 @@ class SparkExplainBackend:
         # rows. The count runs on the just-cached projection, so it doubles
         # as the cache materialization — no extra pipeline evaluation.
         if n_parts > 1:
-            n_rows = self.df.count()
+            n_rows = proj.count()
             n_parts = max(1, min(n_parts, n_rows // max(1, min_rows_per_part)))
         self.n_parts = n_parts
         if n_parts <= 1:
-            self.part_expr = F.lit(0)
+            self.part_expr = F.lit(0).cast("int")
         elif part_by:
             self.part_expr = F.pmod(F.xxhash64(part_by), F.lit(n_parts)).cast("int")
         else:
@@ -299,9 +299,26 @@ class SparkExplainBackend:
                 F.lit(n_parts),
             ).cast("int")
 
+        # Persist the matrix POST-shuffle, partitioned by part_id and sorted
+        # within partitions on (part_id, sort_cols): every explain batch's
+        # groupBy finds its required distribution AND ordering already
+        # satisfied by the cached plan, so the per-batch Exchange + Sort
+        # vanish — automatic mode's incremental batches used to re-shuffle
+        # and re-sort the SAME cached matrix on every call (the measured
+        # per-batch fixed overhead, ANALYSIS_r05 §3b). The explicit
+        # numPartitions pins one group per partition (no straggler packing),
+        # and AQE leaves cached-plan output partitioning alone by default.
+        d2 = proj.withColumn("part_id", self.part_expr)
+        d2 = d2.repartition(max(1, n_parts), "part_id")
+        d2 = d2.sortWithinPartitions("part_id", *(sort_cols or []))
+        self.df = d2.cache()
+        self.df.count()  # materialize from the projection cache (one pass)
+        proj.unpersist()  # the pre-shuffle copy is now redundant
+
     def release(self) -> None:
-        """Unpersist the cached projected matrix (called by the selector when
-        the fit completes — repeated fits must not accumulate cached data)."""
+        """Unpersist the cached partitioned matrix (called by the selector
+        when the fit completes — repeated fits must not accumulate cached
+        data)."""
         try:
             self.df.unpersist()
         except Exception:
@@ -374,17 +391,11 @@ class SparkExplainBackend:
                     f"..{iteration_pairs[-1][0]} over {self.n_parts} partitions",
                 )
             try:
-                src = self.df.withColumn("part_id", self.part_expr)
-                if self.n_parts > 1:
-                    # pin the exchange to exactly n_parts partitions (one
-                    # group per partition): hashpartitioning(part_id,
-                    # n_parts) already satisfies the groupBy's required
-                    # distribution, so this does NOT add a second shuffle —
-                    # it replaces the spark.sql.shuffle.partitions-sized one
-                    # that would pack several groups per task (stragglers)
-                    src = src.repartition(self.n_parts, "part_id")
+                # self.df is cached ALREADY partitioned by part_id and
+                # sorted on (part_id, sort_cols) — the groupBy below adds
+                # no Exchange and no Sort (asserted by test_plans.py)
                 res = (
-                    src.groupBy("part_id")
+                    self.df.groupBy("part_id")
                     .applyInPandas(fn, schema=_RESULT_SCHEMA)
                     .toPandas()
                 )

@@ -71,9 +71,12 @@ def test_broadcast_dim_join(spark):
     assert "BroadcastHashJoin" in _plan(j)
 
 
-def test_selection_single_shuffle_to_udf(spark, clf_xy):
-    """The explain batch = one exchange on part_id feeding one Arrow
-    grouped-map UDF — no per-iteration replication of the matrix."""
+def test_selection_batch_zero_exchange_zero_sort(spark, clf_xy):
+    """The matrix is cached POST-shuffle (partitioned by part_id, sorted
+    within partitions), so the per-batch plan is one Arrow grouped-map UDF
+    reading the InMemory scan directly — ZERO Exchange and ZERO Sort. The
+    one shuffle of the matrix happens once at backend init, not once per
+    explain batch (automatic mode's incremental batches reuse it)."""
     import numpy as np
     import pandas as pd
 
@@ -84,21 +87,27 @@ def test_selection_single_shuffle_to_udf(spark, clf_xy):
     pdf["label"] = y
     pdf["row_id"] = np.arange(len(pdf))
     sdf = spark.createDataFrame(pdf)
-    be = SparkExplainBackend(sdf, list(X.columns), "label", n_parts=4, sort_cols=["row_id"])
+    be = SparkExplainBackend(
+        sdf, list(X.columns), "label", n_parts=4, sort_cols=["row_id"],
+        min_rows_per_part=50,
+    )
+    assert be.n_parts == 4  # the claim needs a real multi-part grid
     fn = _make_group_fn(
         list(X.columns), "label", [(0, 0), (1, 1)], 0, 0.2, None, None, None,
         "positional", None, ["row_id"],
     )
-    out = (
-        be.df.withColumn("part_id", be.part_expr)
-        .groupBy("part_id")
-        .applyInPandas(fn, schema=_RESULT_SCHEMA)
-    )
+    out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
     p = _plan(out)
     import re
 
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", p)) == 1
-    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    # the PER-BATCH segment is everything above the InMemory scan; the
+    # Exchange/Sort inside InMemoryRelation's recorded build plan ran once
+    # at cache materialization and never again
+    batch_seg = p.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in batch_seg, p
+    assert "Sort" not in batch_seg, p
+    be.release()
 
 
 def test_frame_sample_plan_has_no_python_stage(spark):
