@@ -505,6 +505,28 @@ def q_minhash_dedup_documents(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Daily-ingest shape: the last ~30% of documents (by id) arrive as a
+    NEW shard and dedup against the persisted signature store of the first
+    ~70% — no corpus re-scan. The oracle is the full-corpus dedup
+    restricted to shard ids (the operator's exactness contract)."""
+    from powershap_spark.operators.dedup import (
+        build_minhash_signature_store,
+        incremental_minhash_dedup,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(max_id) * 7 // 10
+    old = d.filter(F.col("doc_id") < cutoff)
+    new = d.filter(F.col("doc_id") >= cutoff)
+    store = build_minhash_signature_store(old, num_hashes=16, hash_family="poly")
+    kept, _sigs = incremental_minhash_dedup(
+        new, store, num_hashes=16, bands=4, threshold=0.7, hash_family="poly"
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_simhash_documents(spark, sf_dir):
     from powershap_spark.operators.dedup import simhash
 
@@ -979,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "quantized_topk_embeddings": q_quantized_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "transcript_features": q_transcript_features,
@@ -1012,7 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PM = 1_000_000_007
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(incremental: bool = False) -> str:
     from powershap_spark.operators.dedup import (
         BAND_BASE,
         BAND_MOD,
@@ -1069,7 +1092,13 @@ def _minhash_oracle_sql() -> str:
         )
         SELECT d.doc_id, d.lang, d.source FROM documents d
         WHERE d.doc_id NOT IN (SELECT DISTINCT id_b FROM est WHERE ej >= {THR})
+        {_INCR_WHERE if incremental else ""}
     """
+
+
+# the incremental query's oracle IS the full-corpus dedup restricted to the
+# new shard (ids >= the 70% cutoff) — the operator's exactness contract
+_INCR_WHERE = "AND d.doc_id >= (SELECT (max(doc_id) * 7) // 10 FROM documents)"
 
 
 def _simhash_oracle_sql() -> str:
@@ -1618,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_dedup_documents": _minhash_oracle_sql(),
+        "incremental_minhash_dedup": _minhash_oracle_sql(incremental=True),
         "simhash_documents": _simhash_oracle_sql(),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),

@@ -228,14 +228,28 @@ def lsh_candidate_pairs(
             "would run an extra job over the signature pipeline"
         )
     rows_per_band = max(1, num_hashes // bands)
+    banded = _banded(df, id_col, sig_col, bands, rows_per_band, hash_family)
+    a, b = banded.alias("a"), banded.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _pairs_with_est(pair_ids, df, id_col, sig_col)
 
-    # Shuffle-byte discipline (100-TB lever): the band explosion multiplies
-    # row count by ``bands``, so it must NOT carry the full signature array —
-    # band rows are (id, band_id, band_hash) only (~24 bytes), and both
-    # signatures are re-attached AFTER the pair set is deduplicated by
-    # joining the (caller-persisted) signature table twice on id. Net big
-    # shuffle: 2x signature bytes instead of ``bands``x (8x at defaults).
-    banded = df.select(
+
+def _banded(df, id_col, sig_col, bands, rows_per_band, hash_family):
+    """Shuffle-byte discipline (100-TB lever): the band explosion multiplies
+    row count by ``bands``, so it must NOT carry the full signature array —
+    band rows are (id, band_id, band_hash) only (~24 bytes); signatures are
+    re-attached AFTER the pair set is deduplicated (``_pairs_with_est``).
+    Net big shuffle: 2x signature bytes instead of ``bands``x."""
+    return df.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array(
@@ -253,18 +267,11 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select("__id", "band.band_id", "band.band_hash")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sigs = df.select(F.col(id_col).alias("__sid"), F.col(sig_col).alias("__s"))
+
+def _pairs_with_est(pair_ids, sig_df, id_col, sig_col):
+    """Attach both signatures to deduplicated candidate pairs and compute
+    the matching-minhash fraction (estimated Jaccard)."""
+    sigs = sig_df.select(F.col(id_col).alias("__sid"), F.col(sig_col).alias("__s"))
     pairs = (
         pair_ids.join(sigs, F.col("id_a") == F.col("__sid"))
         .select("id_a", "id_b", F.col("__s").alias("sig_a"))
@@ -331,6 +338,117 @@ def minhash_dedup(
         .distinct()
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+def build_minhash_signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash",
+    seed: int = 7,
+) -> DataFrame:
+    """``(id, minhash)`` signatures for a corpus shard — the persisted
+    artifact the daily ingestion pipeline keeps so new shards dedup against
+    the corpus WITHOUT re-shingling it (``incremental_minhash_dedup``).
+
+    The store must hold signatures for ALL ingested ids, including docs the
+    dedup itself dropped: the batch operator's greedy rule drops a doc iff
+    ANY smaller-id doc (kept or dropped) matches it — in the chain
+    a<b<c with pairs (a,b),(b,c) but not (a,c), c is dropped because of the
+    already-dropped b. Storing only survivors would silently re-admit c.
+    Signatures are a pure function of (id, text), so re-appending a shard
+    is idempotent by id."""
+    sh = (
+        hashed_shingles(text_col, shingle_n)
+        if hash_family == "xxhash"
+        else shingles(text_col, shingle_n)
+    )
+    return df.select(
+        F.col(id_col),
+        minhash_signature(sh, num_hashes, seed=seed, hash_family=hash_family).alias(
+            "minhash"
+        ),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    sig_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash",
+    seed: int = 7,
+):
+    """Dedup a NEW shard against a persisted signature store without
+    re-scanning the corpus — the operator a real ingestion pipeline runs
+    daily. Returns ``(kept_new_docs, new_sigs)``; append ``new_sigs`` (ALL
+    new ids, kept or dropped — see ``build_minhash_signature_store`` for
+    why) to the store after the run.
+
+    Exactness contract (oracle-checked in the driver battery): the kept set
+    equals full-corpus ``minhash_dedup`` over store ∪ shard RESTRICTED to
+    shard ids, provided every store id < every shard id (monotone ingest
+    ids — the natural shard layout). A new doc is dropped iff some
+    smaller-id doc (old OR new) band-collides and passes the estimated-
+    Jaccard threshold; old docs are never re-judged (their verdicts are
+    already materialized).
+
+    Scale shape: the corpus contributes only its SIGNATURE store — banded
+    to (id, band_id, band_hash) rows (~24 B each), one scan, no text ever
+    re-read; the band join's b-side is just the new shard. Candidate-pair
+    signatures are re-attached after pair dedup, same shuffle-byte
+    discipline as the batch operator."""
+    from ..caching import tracked_persist
+
+    new_sigs = tracked_persist(
+        build_minhash_signature_store(
+            new_df, text_col, id_col, num_hashes, shingle_n, hash_family, seed
+        )
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    store_sigs = sig_store.select(F.col(id_col), "minhash")
+    union_sigs = store_sigs.unionByName(new_sigs)
+    a = _banded(
+        union_sigs, id_col, "minhash", bands, rows_per_band, hash_family
+    ).alias("a")
+    b = _banded(
+        new_sigs, id_col, "minhash", bands, rows_per_band, hash_family
+    ).alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dupes = (
+        _pairs_with_est(pair_ids, union_sigs, id_col, "minhash")
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = new_df.join(dupes, id_col, "left_anti")
+    return kept, new_sigs
+
+
+def append_signatures(
+    store: DataFrame, new_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Id-idempotent store append: a retried shard (failed run re-submitted)
+    adds no duplicate rows — ids already present are skipped, which is
+    exact because a signature is a pure function of (id, text)."""
+    return store.unionByName(
+        new_sigs.join(store.select(id_col), id_col, "left_anti")
+    )
 
 
 def simhash(col, bits: int = 64, seed: int = 11, hash_family: str = "xxhash") -> "F.Column":

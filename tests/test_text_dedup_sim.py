@@ -648,3 +648,82 @@ def test_canonicalize_url_goldens(spark):
         .c.tolist()
     )
     assert got == [c[1] for c in cases]
+
+
+def test_incremental_minhash_matches_full_corpus_restricted(spark, docs):
+    """The exactness contract: incremental dedup of a new shard against the
+    old shard's signature store equals full-corpus minhash_dedup restricted
+    to shard ids. Split the fixture so near-dup relations CROSS the split
+    (doc 3 is a near-dup of doc 0: old side), exercising the old-vs-new
+    band join, and docs 1/2 pair within the old side (already judged)."""
+    from powershap_spark.operators.dedup import (
+        build_minhash_signature_store,
+        incremental_minhash_dedup,
+    )
+
+    kw = dict(num_hashes=64, bands=16, threshold=0.5, shingle_n=2)
+    full = set(
+        minhash_dedup(docs, "text", "doc_id", **kw).toPandas().doc_id
+    )
+    old = docs.filter(F.col("doc_id") < 3)
+    new = docs.filter(F.col("doc_id") >= 3)
+    store = build_minhash_signature_store(
+        old, num_hashes=64, shingle_n=2
+    )
+    kept, new_sigs = incremental_minhash_dedup(new, store, **kw)
+    got = set(kept.toPandas().doc_id)
+    assert got == {i for i in full if i >= 3}
+    assert 3 not in got  # cross-split near-dup of old doc 0 was caught
+    # new_sigs covers ALL shard ids (kept or dropped) — the store invariant
+    assert set(new_sigs.toPandas().doc_id) == {3, 4, 5, 6, 7}
+
+
+def test_incremental_minhash_dropped_doc_still_suppresses(spark):
+    """The store keeps signatures of docs the dedup DROPPED, because the
+    greedy rule consults them: chain a<b<c where b~a and c~b but c!~a —
+    full-corpus dedup drops both b and c, so the incremental run of shard
+    {c} against store {a, b} must also drop c (a survivor-only store would
+    re-admit it)."""
+    from powershap_spark.operators.dedup import (
+        build_minhash_signature_store,
+        incremental_minhash_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b_txt = base.replace("alpha", "omega")  # 1 of 10 tokens differs from a
+    c_txt = b_txt.replace("kappa", "sigma")  # 2 from a, 1 from b
+    rows = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, b_txt, c_txt]}
+    )
+    d = spark.createDataFrame(rows)
+    kw = dict(num_hashes=128, bands=64, threshold=0.75, shingle_n=1)
+    full = set(minhash_dedup(d, "text", "doc_id", **kw).toPandas().doc_id)
+    assert full == {0}, full  # b dropped via a, c dropped via (dropped) b
+    store = build_minhash_signature_store(
+        d.filter(F.col("doc_id") < 2), num_hashes=128, shingle_n=1
+    )
+    kept, _ = incremental_minhash_dedup(
+        d.filter(F.col("doc_id") == 2), store, **kw
+    )
+    assert kept.count() == 0
+
+
+def test_signature_store_append_idempotent(spark, docs):
+    """Re-appending the same shard's signatures (failed-run retry) must not
+    duplicate store rows, and the appended store equals old ∪ new by id."""
+    from powershap_spark.operators.dedup import (
+        append_signatures,
+        build_minhash_signature_store,
+    )
+
+    old = docs.filter(F.col("doc_id") < 3)
+    new = docs.filter(F.col("doc_id") >= 3)
+    store = build_minhash_signature_store(old, num_hashes=16)
+    new_sigs = build_minhash_signature_store(new, num_hashes=16)
+    once = append_signatures(store, new_sigs)
+    twice = append_signatures(once, new_sigs)
+    assert once.count() == docs.count()
+    assert twice.count() == once.count()
+    a = once.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = twice.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
