@@ -84,3 +84,94 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_bucketed_skew_bounded(
+    df: DataFrame,
+    table: str,
+    key: str,
+    order_col: str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    rows_per_key_bound: int = 1_000_000,
+    hot_keys: list | None = None,
+) -> list:
+    """Bucketed store with a per-key row bound — the shipped mitigation for
+    the round-5 finding that bucketing CO-LOCATES skew at scan time (a hot
+    key's whole history lands in one bucket file, so its decode + regex +
+    sort + window all serialize in the single bucket task; measured 1.6x
+    slower end-to-end under a 10%% hot conversation, BENCH/ANALYSIS_r05 §4).
+
+    Split policy: keys whose row count exceeds ``rows_per_key_bound`` are
+    diverted OUT of the bucketed table into a side table at ``{path}_hot``,
+    written spread over (key, floor(order/bound)) sub-chunks — many files,
+    so the scan and everything pipelined onto it parallelize. Cold keys are
+    written bucketed+sorted exactly as ``write_bucketed`` (with the
+    one-file-per-bucket pre-repartition folded in), so the cold path keeps
+    the ZERO-Exchange window build. Consumers run the plain single-window
+    build over the cold table and the two-phase salted pass
+    (``operators.salted``) over the hot table, then union — conversations
+    are wholly cold or wholly hot, so per-entity features compose exactly
+    (value-parity pytest in test_compat_io.py).
+
+    ``hot_keys`` overrides detection (e.g. from a sampled
+    ``detect_hot_keys`` pre-pass at 100-TB scale, where the exact groupBy
+    count below would be a full-table pass). Returns the hot key list;
+    it is also persisted to ``{path}_hotkeys`` for later readers."""
+    from pyspark.sql import functions as F
+
+    if path is None:
+        raise ValueError("write_bucketed_skew_bounded requires an explicit path")
+    if hot_keys is None:
+        hot_keys = [
+            r[0]
+            for r in df.groupBy(key)
+            .count()
+            .filter(F.col("count") > int(rows_per_key_bound))
+            .select(key)
+            .collect()
+        ]
+    spark = df.sparkSession
+    if hot_keys:
+        cold = df.filter(~F.col(key).isin(hot_keys))
+        hot = df.filter(F.col(key).isin(hot_keys))
+        sub = F.floor(
+            F.col(order_col).cast("long") / F.lit(int(rows_per_key_bound))
+        )
+        (
+            hot.withColumn("__sub", sub)
+            .repartition(F.col(key), F.col("__sub"))
+            .drop("__sub")
+            .sortWithinPartitions(*(sort_cols or [key, order_col]))
+            .write.mode("overwrite")
+            .parquet(path + "_hot")
+        )
+    else:
+        cold = df
+        df.limit(0).write.mode("overwrite").parquet(path + "_hot")
+    spark.createDataFrame([(k,) for k in hot_keys] or [], f"{key} string").write.mode(
+        "overwrite"
+    ).parquet(path + "_hotkeys")
+    # one file per bucket (same Murmur3 partitioning bucketBy uses) so the
+    # bucketed scan exposes both the distribution AND the sort order
+    write_bucketed(
+        cold.repartition(int(n_buckets), key),
+        table,
+        [key],
+        n_buckets=n_buckets,
+        sort_cols=sort_cols,
+        path=path,
+    )
+    return hot_keys
+
+
+def read_skew_bounded(spark: SparkSession, table: str, path: str):
+    """Read a skew-bounded store back as ``(cold, hot, hot_keys)``: the
+    bucketed cold table (zero-exchange window builds), the sub-chunked hot
+    side table (feed it the salted two-phase operators), and the persisted
+    hot-key list."""
+    cold = spark.table(table)
+    hot = spark.read.parquet(path + "_hot")
+    hot_keys = [r[0] for r in spark.read.parquet(path + "_hotkeys").collect()]
+    return cold, hot, hot_keys

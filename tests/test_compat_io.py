@@ -203,3 +203,95 @@ def test_bucketed_transcripts_window_build_has_no_exchange(spark, tmp_path):
         pd.testing.assert_frame_equal(pb[pp.columns], pp)
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_transcripts")
+
+
+def test_skew_bounded_store_parity_and_cold_zero_exchange(spark, tmp_path):
+    """write_bucketed_skew_bounded splits hot keys OUT of the bucketed
+    table (round-5 finding: bucketing co-locates skew at scan time), so:
+    (1) the hot conversation is detected and diverted; (2) the COLD table
+    still builds its window features with ZERO Exchange; (3) cold plain
+    window + hot salted two-phase, unioned, equals the plain build over
+    the whole table value-for-value (conversations are wholly cold or
+    wholly hot, so per-entity features compose exactly)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from powershap_spark import synth
+    from powershap_spark.pipeline import turn_features
+    from powershap_spark.sources.tableio import (
+        read_skew_bounded,
+        write_bucketed_skew_bounded,
+    )
+
+    # conv 0 is the planted hot key (~30% of rows here)
+    t = synth.transcripts(spark, n_conv=40, mean_turns=12, hot_frac=0.3)
+    per_key = dict(t.groupBy("conv_id").count().collect())
+    bound = 100
+    expect_hot = sorted(k for k, n in per_key.items() if n > bound)
+    assert expect_hot, "fixture must contain a hot conversation"
+
+    hot_keys = write_bucketed_skew_bounded(
+        t,
+        "sb_transcripts",
+        key="conv_id",
+        order_col="turn_idx",
+        n_buckets=4,
+        sort_cols=["conv_id", "turn_idx"],
+        path=str(tmp_path / "sb_t"),
+        rows_per_key_bound=bound,
+    )
+    try:
+        assert sorted(hot_keys) == expect_hot
+        cold, hot, hot_keys_rt = read_skew_bounded(
+            spark, "sb_transcripts", str(tmp_path / "sb_t")
+        )
+        assert sorted(hot_keys_rt) == expect_hot
+        # no row lost or duplicated by the split
+        assert cold.count() + hot.count() == t.count()
+
+        feats_cold = turn_features(cold, skew_safe=False)
+        plan = feats_cold._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        # the hot side is stored spread over sub-chunks, not one file
+        hot_files = hot.select(F.input_file_name()).distinct().count()
+        assert hot_files > 1
+
+        feats_hot = turn_features(hot, skew_safe=True)
+        both = feats_cold.unionByName(feats_hot)
+        ref = turn_features(t, skew_safe=False)
+        key = ["conv_id", "turn_idx"]
+        got = both.toPandas().sort_values(key).reset_index(drop=True)
+        exp = ref.toPandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sb_transcripts")
+
+
+def test_skew_bounded_store_no_hot_keys(spark, tmp_path):
+    """With no key over the bound the whole table is bucketed cold, the
+    hot side table exists but is empty, and the round trip is lossless."""
+    from powershap_spark import synth
+    from powershap_spark.sources.tableio import (
+        read_skew_bounded,
+        write_bucketed_skew_bounded,
+    )
+
+    t = synth.transcripts(spark, n_conv=20, mean_turns=8, hot_frac=0.0)
+    hot_keys = write_bucketed_skew_bounded(
+        t,
+        "sb_nohot",
+        key="conv_id",
+        order_col="turn_idx",
+        n_buckets=4,
+        sort_cols=["conv_id", "turn_idx"],
+        path=str(tmp_path / "sb_nh"),
+        rows_per_key_bound=10_000_000,
+    )
+    try:
+        assert hot_keys == []
+        cold, hot, hot_rt = read_skew_bounded(spark, "sb_nohot", str(tmp_path / "sb_nh"))
+        assert hot.count() == 0 and hot_rt == []
+        assert cold.count() == t.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sb_nohot")

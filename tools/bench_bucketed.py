@@ -71,6 +71,27 @@ def build_once(spark, sf: float, base: str):
         )
         with open(done, "w") as f:
             f.write("ok")
+    # skew-bounded variant (own marker: added in round 6, so a prebuilt
+    # r5 dir gains it without rebuilding plain/bucketed): hot conversations
+    # split out of the bucketed table into a sub-chunked side table; bound
+    # ~= a cold conversation's size x 1000 so ONLY the planted hot key
+    # crosses it
+    done_sb = f"{base}/.done_sb_sf{sf}"
+    if not os.path.exists(done_sb):
+        from powershap_spark.sources.tableio import write_bucketed_skew_bounded
+
+        write_bucketed_skew_bounded(
+            spark.read.parquet(plain),
+            "bench_transcripts_sb",
+            key="conv_id",
+            order_col="turn_idx",
+            n_buckets=N_BUCKETS,
+            sort_cols=["conv_id", "turn_idx"],
+            path=f"{base}/transcripts_sb",
+            rows_per_key_bound=25_000,
+        )
+        with open(done_sb, "w") as f:
+            f.write("ok")
     # saveAsTable registers in the SESSION-LOCAL in-memory catalog (no
     # Hive metastore in this sandbox), so re-register the existing files
     # by DDL on every run
@@ -84,6 +105,16 @@ def build_once(spark, sf: float, base: str):
             INTO {N_BUCKETS} BUCKETS
             LOCATION '{base}/transcripts_bucketed'
         """)
+    if not spark.catalog.tableExists("bench_transcripts_sb"):
+        spark.sql(f"""
+            CREATE TABLE bench_transcripts_sb (
+              conv_id STRING, turn_idx INT, role STRING, text STRING,
+              tool STRING, ts TIMESTAMP)
+            USING PARQUET
+            CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+            INTO {N_BUCKETS} BUCKETS
+            LOCATION '{base}/transcripts_sb'
+        """)
     return plain, probes
 
 
@@ -93,7 +124,15 @@ def run_variant(spark, src, probes_path, label: str) -> dict:
     from powershap_spark.pipeline import point_in_time_matrix, turn_features
 
     p = spark.read.parquet(probes_path)
-    feats = turn_features(src, skew_safe=False)
+    if isinstance(src, tuple):
+        # skew-bounded store: cold bucketed table -> plain zero-exchange
+        # window build; hot sub-chunked side table -> salted two-phase
+        cold, hot = src
+        feats = turn_features(cold, skew_safe=False).unionByName(
+            turn_features(hot, skew_safe=True)
+        )
+    else:
+        feats = turn_features(src, skew_safe=False)
     mat = point_in_time_matrix(feats, p, skew_safe=False).filter(
         F.col("feature_ts").isNotNull()
     )
@@ -128,11 +167,13 @@ def main():
     plain, probes = build_once(spark, sf, base)
     spark.sql("select 1").collect()
 
-    have = len(runs) // 2
+    sb_hot = spark.read.parquet(f"{base}/transcripts_sb_hot")
+    have = len(runs) // 3
     for r in range(have, repeat):
         for label, src in [
             ("plain", spark.read.parquet(plain)),
             ("bucketed", spark.table("bench_transcripts_bucketed")),
+            ("subbucketed", (spark.table("bench_transcripts_sb"), sb_hot)),
         ]:
             res = run_variant(spark, src, probes, label)
             res["round"] = r
@@ -141,7 +182,7 @@ def main():
             json.dump({"sf": sf, "cpus": cpus, "runs": runs}, open(raw_path, "w"))
 
     summary = {}
-    for label in ("plain", "bucketed"):
+    for label in ("plain", "bucketed", "subbucketed"):
         rs = [x for x in runs if x["label"] == label]
         summary[label] = {
             "min_sec": min(x["sec"] for x in rs),
