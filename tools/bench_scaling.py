@@ -186,11 +186,12 @@ LABELS = {
 
 
 def write_report(n, sf, repeat):
-    rows, effs = [], {}
+    rows, effs, counts = [], {}, []
     for kind in CELLS:
         s, l = _best(kind, n), _best(kind, 4 * n)
         if not (s and l):
             continue
+        counts += [len(s["all_secs"]), len(l["all_secs"])]
         eff = s["sec"] / (4 * l["sec"])
         effs[kind] = round(eff, 3)
         parallel_s = (
@@ -221,9 +222,12 @@ def write_report(n, sf, repeat):
         "executors. No multi-executor cluster exists in this sandbox; the",
         f"evidence is the same job, same input (sf={sf}, {n_turns} turns,",
         "one hot conversation with ~10% of rows unless noted), at two",
-        "parallelism levels in fresh JVMs, min of up to",
-        f"{repeat} interleaved runs (this host's wall-clock fluctuates 2-5x",
-        "between identical runs; all raw timings listed).",
+        "parallelism levels in fresh JVMs, min over the cached interleaved",
+        # the ACTUAL per-cell raw-run counts, not the last CLI repeat arg
+        # (which once wrote 'up to 1' under columns listing 5 and 12 runs)
+        f"runs ({min(counts) if counts else 0}-{max(counts) if counts else 0}"
+        " per cell — exact counts visible in each row's raw-runs column;",
+        "this host's wall-clock fluctuates 2-5x between identical runs).",
         "",
         "Two isolation models per workload:",
         "",
