@@ -312,8 +312,10 @@ class SparkExplainBackend:
         d2 = d2.repartition(max(1, n_parts), "part_id")
         d2 = d2.sortWithinPartitions("part_id", *(sort_cols or []))
         self.df = d2.cache()
-        self.df.count()  # materialize from the projection cache (one pass)
-        proj.unpersist()  # the pre-shuffle copy is now redundant
+        try:
+            self.df.count()  # materialize from the projection cache (one pass)
+        finally:
+            proj.unpersist()  # the pre-shuffle copy is redundant (also on failure)
 
     def release(self) -> None:
         """Unpersist the cached partitioned matrix (called by the selector
