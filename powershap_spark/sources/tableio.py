@@ -150,9 +150,9 @@ def write_bucketed_skew_bounded(
     else:
         cold = df
         df.limit(0).write.mode("overwrite").parquet(path + "_hot")
-    spark.createDataFrame([(k,) for k in hot_keys] or [], f"{key} string").write.mode(
-        "overwrite"
-    ).parquet(path + "_hotkeys")
+    spark.createDataFrame(
+        [(k,) for k in hot_keys], df.select(key).schema
+    ).write.mode("overwrite").parquet(path + "_hotkeys")
     # one file per bucket (same Murmur3 partitioning bucketBy uses) so the
     # bucketed scan exposes both the distribution AND the sort order
     write_bucketed(
