@@ -70,6 +70,37 @@ def main():
         )
     )
 
+    # round-6: the selection explain batch over the POST-shuffle persisted
+    # matrix — the per-batch plan must be the Arrow grouped-map UDF reading
+    # the InMemory scan directly (zero Exchange, zero Sort; the one shuffle
+    # ran at backend init and lives inside the cached relation's build plan)
+    import numpy as np
+    import pandas as pd
+
+    from powershap_spark.engine import _RESULT_SCHEMA, SparkExplainBackend, _make_group_fn
+
+    rng = np.random.RandomState(0)
+    fcols = [f"f{i}" for i in range(4)]
+    mpdf = pd.DataFrame(rng.rand(400, 4), columns=fcols)
+    mpdf["label"] = (mpdf.f0 > 0.5).astype("int64")
+    mpdf["row_id"] = np.arange(len(mpdf))
+    be = SparkExplainBackend(
+        spark.createDataFrame(mpdf), fcols, "label", n_parts=4,
+        sort_cols=["row_id"], min_rows_per_part=50,
+    )
+    gfn = _make_group_fn(
+        fcols, "label", [(0, 0)], 0, 0.2, None, None, None,
+        "positional", None, ["row_id"],
+    )
+    sections.append(
+        (
+            "selection explain batch (cached post-shuffle matrix: zero "
+            "Exchange / zero Sort above the InMemory scan)",
+            plan_of(be.df.groupBy("part_id").applyInPandas(gfn, schema=_RESULT_SCHEMA)),
+        )
+    )
+    be.release()
+
     # round-4 additions
     from powershap_spark import synth
     from powershap_spark.pipeline import turn_features
