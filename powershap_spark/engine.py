@@ -312,15 +312,31 @@ class SparkExplainBackend:
         d2 = d2.repartition(max(1, n_parts), "part_id")
         d2 = d2.sortWithinPartitions("part_id", *(sort_cols or []))
         self.df = d2.cache()
+        self._proj = None
+        # EAGER materialization, deliberately: with AQE, a plan compiled
+        # over an UNMATERIALIZED cached relation cannot see its output
+        # partitioning and inserts a defensive ENSURE_REQUIREMENTS shuffle
+        # + sort above the scan — a lazy cache would make the first batch
+        # shuffle the matrix TWICE (measured; plans verified both ways).
+        # Paying one up-front pass keeps every batch's plan clean.
         try:
-            self.df.count()  # materialize from the projection cache (one pass)
+            self.df.count()
         finally:
             proj.unpersist()  # the pre-shuffle copy is redundant (also on failure)
+
+    def _release_proj(self) -> None:
+        if self._proj is not None:
+            try:
+                self._proj.unpersist()
+            except Exception:
+                pass
+            self._proj = None
 
     def release(self) -> None:
         """Unpersist the cached partitioned matrix (called by the selector
         when the fit completes — repeated fits must not accumulate cached
         data)."""
+        self._release_proj()
         try:
             self.df.unpersist()
         except Exception:
@@ -408,6 +424,9 @@ class SparkExplainBackend:
                     sc.setLocalProperty("spark.jobGroup.id", None)
                     sc.setLocalProperty("spark.job.description", None)
             wall = time.perf_counter() - t0
+            # first completed batch materialized the partitioned cache —
+            # the pre-shuffle projection copy is now redundant
+            self._release_proj()
             if res.empty:
                 raise ValueError(
                     "explain produced no results — the input DataFrame has no "
