@@ -232,6 +232,7 @@ class SparkExplainBackend:
         show_progress: bool = False,
         cv_start_pos: int = 0,
         matrix_dtype="float32",
+        single_batch: bool = False,
     ):
         from pyspark.sql import functions as F
 
@@ -298,6 +299,18 @@ class SparkExplainBackend:
                 F.xxhash64(*[F.col(c) for c in (sort_cols or feature_cols)]),
                 F.lit(n_parts),
             ).cast("int")
+
+        self.single_batch = bool(single_batch)
+        if self.single_batch:
+            # ONE explain call is statically known (non-automatic,
+            # non-convergence fit): the post-shuffle persist below would
+            # cost a cache-write + re-read pass it never earns back, so
+            # keep the r5 flow — cache the projection, shuffle inside the
+            # single batch. Falls back gracefully (just per-batch shuffles)
+            # if explain is nevertheless called again.
+            self.df = proj
+            self._proj = None
+            return
 
         # Persist the matrix POST-shuffle, partitioned by part_id and sorted
         # within partitions on (part_id, sort_cols): every explain batch's
@@ -409,11 +422,19 @@ class SparkExplainBackend:
                     f"..{iteration_pairs[-1][0]} over {self.n_parts} partitions",
                 )
             try:
-                # self.df is cached ALREADY partitioned by part_id and
-                # sorted on (part_id, sort_cols) — the groupBy below adds
-                # no Exchange and no Sort (asserted by test_plans.py)
+                if self.single_batch:
+                    # one-shot fit: shuffle inside the batch (no persisted
+                    # exchange to amortize)
+                    src = self.df.withColumn("part_id", self.part_expr)
+                    if self.n_parts > 1:
+                        src = src.repartition(self.n_parts, "part_id")
+                else:
+                    # self.df is cached ALREADY partitioned by part_id and
+                    # sorted on (part_id, sort_cols) — the groupBy below
+                    # adds no Exchange and no Sort (test_plans.py asserts)
+                    src = self.df
                 res = (
-                    self.df.groupBy("part_id")
+                    src.groupBy("part_id")
                     .applyInPandas(fn, schema=_RESULT_SCHEMA)
                     .toPandas()
                 )
@@ -717,6 +738,9 @@ class PowerShapSelector:
                 show_progress=self.show_progress,
                 cv_start_pos=self._cv_consumed,
                 matrix_dtype=self.matrix_dtype,
+                # a plain fixed-iterations fit runs exactly ONE explain
+                # batch — skip the post-shuffle persist it never amortizes
+                single_batch=not self.automatic and not self.force_convergence,
             )
             self.feature_names_in_ = np.asarray(feature_cols)
 
