@@ -367,6 +367,59 @@ def q_pii_scrub_documents(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_documents(spark, sf_dir):
+    """Fused single-scan curation pipeline (operators/curate.py): PII scrub
+    -> stopword-vote language gate + quality floor -> exact dedup (min id
+    per normalized scrubbed text, single-pass min_by aggregate — no
+    join-back) -> deterministic poly-hash sample. One scan, one shuffle.
+
+    The synthetic corpus has no exact dupes and no PII, so the query
+    deterministically injects both: every 7th doc becomes one of three
+    boilerplate pages (they survive the en gate and collapse to the min id
+    per variant), the rest get appended email+URL PII (redacted by the
+    scrub, counted per category). The DuckDB oracle replays the identical
+    injection and chain."""
+    from powershap_spark.operators.curate import curate_corpus
+
+    did = F.col("doc_id")
+    boiler = F.concat(
+        F.lit("please subscribe to the newsletter of site"),
+        F.pmod(did, F.lit(3)).cast("string"),
+        F.lit(" and share it that is all for now we thank you"),
+    )
+    pii = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("http://site"),
+            F.pmod(did, F.lit(7)).cast("string"),
+            F.lit(".example/x"),
+        ),
+    )
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.when(F.pmod(did, F.lit(7)) == 0, boiler).otherwise(pii).alias("text")
+    )
+    out = curate_corpus(
+        d,
+        langs=("en", "de"),
+        min_quality=0.6,
+        sample_fraction=0.5,
+        seed=7,
+        hash_family="poly",
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        F.round("quality", 6).alias("quality"),
+        "n_url",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "text_scrubbed",
+    )
+
+
 def q_repetition_documents(spark, sf_dir):
     """Boilerplate/repetition quality signals (Gopher-style duplicate-token
     and duplicate-bigram ratios) per document."""
@@ -989,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "token_counts": q_token_counts,
         "pii_scrub_documents": q_pii_scrub_documents,
+        "curation_pipeline_documents": q_curation_pipeline_documents,
         "repetition_documents": q_repetition_documents,
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "contamination_documents": q_contamination_documents,
@@ -1258,6 +1312,89 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+def _curation_oracle_sql() -> str:
+    """Mirrors q_curation_pipeline_documents stage by stage: identical
+    injection, the SAME scrub regex literals, the SAME stopword-vote /
+    quality arithmetic on the scrubbed text, min-id dedup on the normalized
+    scrubbed text, and the poly-hash sample membership (affine constants
+    recomputed from the shared seed, never hardcoded)."""
+    from powershap_spark.operators.dedup import POLY_MOD, affine_params
+    from powershap_spark.operators.scrub import PII_PATTERNS
+
+    stop = lambda lst: "[" + ",".join(f"'{s}'" for s in lst) + "]"
+    inject = """CASE WHEN doc_id % 7 = 0
+        THEN 'please subscribe to the newsletter of site' || (doc_id % 3)
+             || ' and share it that is all for now we thank you'
+        ELSE concat_ws(' ', text, 'user' || doc_id || '@example.com',
+                       'http://site' || (doc_id % 7) || '.example/x')
+        END"""
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INTEGER AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = "t"
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    toks = "string_split_regex(trim(lower(ts)), '\\s+')"
+    a_l, b_l = affine_params(1, 7)
+    return f"""
+        WITH x AS (SELECT doc_id, {inject} AS t FROM documents),
+        s AS (SELECT doc_id, {counts}, {scrubbed} AS ts FROM x),
+        sc AS (
+          SELECT *,
+                 len(list_intersect(list_distinct({toks}), {stop(_EN)})) AS s_en,
+                 len(list_intersect(list_distinct({toks}), {stop(_DE)})) AS s_de,
+                 len(list_intersect(list_distinct({toks}), {stop(_FR)})) AS s_fr,
+                 len(list_intersect(list_distinct({toks}), {stop(_ES)})) AS s_es,
+                 length(ts) AS n,
+                 CASE WHEN length(trim(ts)) = 0 THEN 0
+                      ELSE len({toks}) END AS n_tok,
+                 length(ts) - length(regexp_replace(ts, '[\\.,;:!\\?]', '', 'g')) AS punct,
+                 length(regexp_replace(lower(ts), '[^a-z]', '', 'g')) AS alpha,
+                 CASE WHEN length(trim(ts)) = 0 THEN 0.0
+                      ELSE len(list_filter({toks},
+                               tk -> list_contains({stop(_EN)}, tk)))::DOUBLE
+                           / len({toks}) END AS stop_ratio
+          FROM s
+        ),
+        e AS (
+          SELECT doc_id, n_url, n_email, n_ipv4, n_phone, ts,
+                 CASE
+                   WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END AS pred_lang,
+                 ((CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n > 0 THEN 1.0 - least(punct::DOUBLE / n * 5.0, 1.0) ELSE 0.0 END)
+                  + (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END)
+                  + least(stop_ratio * 4.0, 1.0)) / 4.0 AS quality
+          FROM sc
+        ),
+        flt AS (
+          SELECT * FROM e WHERE pred_lang IN ('en', 'de') AND quality >= 0.6
+        ),
+        keep AS (
+          SELECT min(doc_id) AS doc_id FROM flt
+          GROUP BY trim(regexp_replace(lower(ts), '\\s+', ' ', 'g'))
+        ),
+        ded AS (SELECT f.* FROM flt f JOIN keep USING (doc_id)),
+        ph AS (
+          SELECT *,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     [unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]),
+                   (acc, ch) -> (acc * 31 + ch) % {POLY_MOD}
+                 ) AS h
+          FROM ded
+        )
+        SELECT doc_id, pred_lang, round(quality, 6) AS quality,
+               n_url, n_email, n_ipv4, n_phone, ts AS text_scrubbed
+        FROM ph
+        WHERE (({a_l[0]} * h + {b_l[0]}) % {POLY_MOD}) / {POLY_MOD}.0 < 0.5
+    """
+
+
 def _url_canonicalize_oracle_sql() -> str:
     """Mirrors q_url_canonicalize_documents: identical injection, then the
     SAME rewrite-chain literals (URL_SCHEME_HOST + URL_CANON_STEPS) with
@@ -1487,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub_documents": _pii_scrub_oracle_sql(),
+        "curation_pipeline_documents": _curation_oracle_sql(),
         "url_canonicalize_documents": _url_canonicalize_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
