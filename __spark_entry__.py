@@ -604,6 +604,25 @@ def q_lsh_topk_embeddings(spark, sf_dir):
     )
 
 
+def q_lsh_topk_banded_embeddings(spark, sf_dir):
+    """OR-construction ANN: candidates collide in ANY of 3 sign-LSH bands
+    (8 planes each, band b seeded 5+b), exact cosine rerank within the
+    candidate union. Recall is monotone in n_bands (see
+    tools/bench_ann_recall.py + BENCH/ANALYSIS_r06 §5)."""
+    from powershap_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries, k=5, n_planes=8, n_bands=3, hash_family="poly")
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN: stride centroids (deterministic coarse quantizer), nprobe=2,
     exact cosine within probed cells."""
@@ -1058,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "lsh_topk_banded_embeddings": q_lsh_topk_banded_embeddings,
         "transcript_features": q_transcript_features,
         "powershap_selection": q_powershap_selection,
         "stumps_selection": q_stumps_selection,
@@ -1236,6 +1256,37 @@ def _lsh_topk_oracle_sql() -> str:
         ), cand AS (
           SELECT q.query_id, e.vec_id, e.v AS ev, q.qv
           FROM eb e JOIN q ON e.bucket = q.bucket
+        ), scored AS (
+          SELECT query_id, vec_id, ({cos}) AS cos_raw FROM cand
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(cos_raw, 4) AS cosine, rank
+        FROM ranked WHERE rank <= {K}
+    """
+
+
+def _lsh_topk_banded_oracle_sql() -> str:
+    N_PLANES, N_BANDS, SEED, K = 8, 3, 5, 5
+    cols = ", ".join(
+        f"({_duck_bucket('v', N_PLANES, SEED + b)}) AS b{b}" for b in range(N_BANDS)
+    )
+    or_cond = " OR ".join(f"e.b{b} = q.b{b}" for b in range(N_BANDS))
+    cos = _duck_cos("ev", "qv")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, v, {cols} FROM e
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv, * EXCLUDE (vec_id, v)
+          FROM eb WHERE vec_id < 5
+        ), cand AS (
+          SELECT q.query_id, e.vec_id, e.v AS ev, q.qv
+          FROM eb e JOIN q ON {or_cond}
         ), scored AS (
           SELECT query_id, vec_id, ({cos}) AS cos_raw FROM cand
         ), ranked AS (
@@ -1788,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_dedup": _minhash_oracle_sql(incremental=True),
         "simhash_documents": _simhash_oracle_sql(),
         "lsh_topk_embeddings": _lsh_topk_oracle_sql(),
+        "lsh_topk_banded_embeddings": _lsh_topk_banded_oracle_sql(),
         "ivf_topk_embeddings": _ivf_topk_oracle_sql(),
         "embedding_cosine_dedup": _embedding_cosine_dedup_oracle_sql(),
         "frame_sample_fake": _FRAME_SAMPLE_ORACLE,

@@ -144,24 +144,80 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     seed: int = 5,
     hash_family: str = "xxhash",
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Recall < 1 by design; rank/cosine computed exactly within the bucket."""
-    e = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__ev"),
-        lsh_bucket(vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
-    )
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s); rank/cosine computed exactly within the candidate set.
+
+    ``n_bands > 1`` turns the single AND-bucket into the standard
+    OR-construction: ``n_bands`` independent sign-buckets (band b's planes
+    are seeded ``seed + b`` — the same convention as
+    ``cosine_candidate_pairs``), a vector is a candidate iff it collides
+    with the query in ANY band. Candidate probability at angle theta is
+    1 - (1 - p^n_planes)^n_bands with p = 1 - theta/pi, so planes narrow
+    the buckets (cost) and bands buy recall back — measured on the bench
+    corpus in BENCH/ANALYSIS_r06 §5.
+
+    Scale shape: the band explosion carries (id, band, bucket) only —
+    ids-only candidates are deduped, then vectors re-attached via one
+    broadcast join (queries and candidates are Q-sized, never the table)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qv"),
-        lsh_bucket(query_vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
     )
-    scored = e.join(F.broadcast(q), "__bucket").select(
-        "query_id",
-        F.col(id_col),
-        cosine_similarity_col("__ev", "__qv").cast("double").alias("cosine"),
-    )
+    if n_bands <= 1:
+        e = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__ev"),
+            lsh_bucket(vec_col, n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
+        )
+        qb = q.select(
+            "query_id",
+            "__qv",
+            lsh_bucket("__qv", n_planes, seed=seed, hash_family=hash_family).alias("__bucket"),
+        )
+        scored = e.join(F.broadcast(qb), "__bucket").select(
+            "query_id",
+            F.col(id_col),
+            cosine_similarity_col("__ev", "__qv").cast("double").alias("cosine"),
+        )
+    else:
+        def bands(vc):
+            return F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            lsh_bucket(
+                                vc, n_planes, seed=seed + b, hash_family=hash_family
+                            ).alias("bucket"),
+                        )
+                        for b in range(int(n_bands))
+                    ]
+                )
+            ).alias("__band")
+
+        e_b = embeddings.select(F.col(id_col), bands(vc=F.col(vec_col))).select(
+            id_col, "__band.band_id", "__band.bucket"
+        )
+        q_b = q.select("query_id", bands(vc=F.col("__qv"))).select(
+            "query_id", "__band.band_id", "__band.bucket"
+        )
+        cand = (
+            e_b.join(F.broadcast(q_b), ["band_id", "bucket"])
+            .select("query_id", id_col)
+            .dropDuplicates(["query_id", id_col])
+        )
+        scored = (
+            embeddings.select(F.col(id_col), F.col(vec_col).alias("__ev"))
+            .join(F.broadcast(cand), id_col)
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                cosine_similarity_col("__ev", "__qv").cast("double").alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

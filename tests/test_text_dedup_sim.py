@@ -168,6 +168,68 @@ def test_lsh_topk_subset_of_bucket(spark, emb):
         assert (out[out.query_id == q]["rank"].values <= 4).all()
 
 
+def _recall_vs_exact(out, vecs, k):
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    total = 0.0
+    qids = sorted(out.query_id.unique())
+    for q in qids:
+        true_top = set(np.argsort(-sims[q])[:k].tolist())
+        got = set(out[out.query_id == q].vec_id.tolist())
+        total += len(got & true_top) / k
+    return total / len(qids)
+
+
+def test_lsh_topk_banded_self_hit_exact_rerank_and_recall_lift(spark, emb):
+    """OR-construction: band b is seeded seed+b, so band 0 reproduces the
+    single-band bucket — the banded candidate set is a SUPERSET of the
+    single-band one and (with distinct cosines) recall@k vs the exact
+    ground truth is monotone in n_bands."""
+    sdf, vecs = emb
+    queries = sdf.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 6
+    single = lsh_topk(sdf, queries, k=k, n_planes=6).toPandas()
+    banded = lsh_topk(sdf, queries, k=k, n_planes=6, n_bands=6).toPandas()
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(5):
+        mine = banded[(banded.query_id == q) & (banded.vec_id == q)]
+        # identical vector collides in EVERY band -> guaranteed self-hit
+        assert len(mine) == 1 and mine.cosine.iloc[0] == pytest.approx(1.0)
+        grp = banded[banded.query_id == q].sort_values("rank")
+        # exact rerank within candidates: cosines match numpy, sorted desc
+        assert np.allclose(grp.cosine.values, sims[q][grp.vec_id.values], atol=1e-9)
+        assert (np.diff(grp.cosine.values) <= 1e-12).all()
+
+    r1 = _recall_vs_exact(single, vecs, k)
+    rb = _recall_vs_exact(banded, vecs, k)
+    assert rb >= r1  # superset candidates can never lose recall
+    assert rb > r1  # and for this seeded corpus the lift is real
+
+
+def test_lsh_topk_bands_one_matches_legacy_single_bucket(spark, emb):
+    sdf, vecs = emb
+    queries = sdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = (
+        lsh_topk(sdf, queries, k=4, n_planes=4)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        lsh_topk(sdf, queries, k=4, n_planes=4, n_bands=1)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_multimodal_image_features(spark, docs):
     media = attach_fake_media(docs.select("doc_id"), "doc_id")
     out = image_features(media, fake=True).toPandas()
