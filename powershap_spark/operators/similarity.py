@@ -261,6 +261,80 @@ def _cell_scores(vec, centroids):
     return out
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    stride: int = 64,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Spherical k-means (Lloyd) refinement of the stride quantizer, pure
+    DataFrame ops per iteration:
+
+      assign: every vector to its max-cosine centroid — the centroid
+        matrix is a broadcast literal, the data table is NEVER shuffled
+        for assignment (one projection pass, whole-stage codegen);
+      update: component-wise mean per cell via posexplode ->
+        groupBy(cell, pos).avg — partially aggregable, so each mapper
+        emits at most n_cells x dim rows regardless of input size; the
+        driver collects only the n_cells x dim averages (centroid-sized,
+        never the table) and renormalizes to unit length (spherical
+        update — cosine assignment needs direction-mean, not mean).
+
+    Deterministic: init = stride_centroids (a pure function of the table),
+    ties in assignment break to the lowest cell id, empty cells keep their
+    previous centroid. Returns [(cell, vector)] like stride_centroids —
+    feed it to ``ivf_topk(..., centroids=...)``. Measured recall lift vs
+    the stride init: tools/bench_ann_recall.py / BENCH/ANALYSIS_r06 §5."""
+    import numpy as np
+
+    cents = stride_centroids(embeddings, stride, id_col, vec_col)
+    if not cents:
+        raise ValueError(
+            f"no centroids: no {id_col} divisible by stride={stride} — "
+            "lower the stride"
+        )
+    cmat = np.asarray([c for _, c in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-30
+    cells = [cell for cell, _ in cents]
+
+    for _ in range(int(n_iters)):
+        cur = [(cell, list(map(float, cmat[i]))) for i, cell in enumerate(cells)]
+
+        def best_cell(vec, cur=cur):
+            scores = _cell_scores(vec, cur)
+            if len(scores) == 1:
+                return F.lit(cur[0][0])
+            return -F.greatest(*scores)["negcell"]
+
+        # NOTE: the generator (posexplode) must live in a SEPARATE select —
+        # a generator alongside greatest(struct...) makes the analyzer lose
+        # the struct field names (FIELD_NOT_FOUND on `negcell`); chained
+        # selects collapse to one projection+generate in the physical plan.
+        rows = (
+            embeddings.select(
+                best_cell(F.col(vec_col)).alias("cell"),
+                F.col(vec_col).alias("__v"),
+            )
+            .select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(int(r[0]), {})[int(r[1])] = float(r[2])
+        for i, cell in enumerate(cells):
+            comp = by_cell.get(cell)
+            if not comp:
+                continue  # empty cell keeps its previous centroid
+            v = np.asarray([comp[p] for p in sorted(comp)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                cmat[i] = v / n
+    return [(cell, list(map(float, cmat[i]))) for i, cell in enumerate(cells)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -271,15 +345,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its max-cosine centroid
     cell (one projection pass — the centroid matrix is a literal/broadcast,
     the data table is never shuffled for assignment), rank cells per query,
     probe the best ``nprobe`` cells, exact cosine + top-k within candidates.
 
+    ``centroids`` overrides the default stride quantizer with a
+    precomputed [(cell, vector)] list — e.g. ``kmeans_centroids`` output.
+
     Scale shape: candidates come from an equi-join on ``cell`` — work
     proportional to the probed cells only, never an all-pairs scan."""
-    cents = stride_centroids(embeddings, stride, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else stride_centroids(embeddings, stride, id_col, vec_col)
+    )
     if not cents:
         raise ValueError(
             f"no centroids: no {id_col} divisible by stride={stride} — "

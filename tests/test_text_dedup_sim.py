@@ -322,6 +322,61 @@ def test_ivf_topk_self_hit_and_recall(spark, emb):
         assert np.allclose(got, sims[q][grp.vec_id.values], atol=1e-9)
 
 
+def test_kmeans_centroids_matches_numpy_lloyd(spark, emb):
+    """kmeans_centroids is deterministic: stride init, max-cosine assign
+    (ties -> lowest cell), spherical component-mean update, empty cells
+    keep their previous centroid. A numpy replica of the same algorithm
+    must agree allclose after every iteration count."""
+    from powershap_spark.operators.similarity import kmeans_centroids
+
+    sdf, vecs = emb
+    stride, n = 15, vecs.shape[0]
+
+    def numpy_lloyd(n_iters):
+        init_ids = [i for i in range(0, n, stride)]
+        cmat = vecs[init_ids].astype(np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for _ in range(n_iters):
+            sims = normed @ cmat.T
+            assign = np.argmax(sims, axis=1)  # argmax ties -> lowest index
+            for c in range(cmat.shape[0]):
+                members = vecs[assign == c]
+                if len(members) == 0:
+                    continue
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cmat[c] = m / nm
+        return cmat
+
+    for n_iters in (1, 3):
+        got = kmeans_centroids(sdf, stride=stride, n_iters=n_iters)
+        want = numpy_lloyd(n_iters)
+        assert [c for c, _ in got] == list(range(want.shape[0]))
+        assert np.allclose(
+            np.asarray([v for _, v in got]), want, atol=1e-9
+        ), f"mismatch at n_iters={n_iters}"
+
+
+def test_ivf_topk_with_kmeans_centroids_exact_rerank(spark, emb):
+    from powershap_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    sdf, vecs = emb
+    cents = kmeans_centroids(sdf, stride=15, n_iters=2)
+    queries = sdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(sdf, queries, k=4, nprobe=2, centroids=cents).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        mine = out[(out.query_id == q) & (out.vec_id == q)]
+        assert len(mine) == 1 and mine.cosine.iloc[0] == pytest.approx(1.0)
+        grp = out[out.query_id == q].sort_values("rank")
+        assert np.allclose(grp.cosine.values, sims[q][grp.vec_id.values], atol=1e-9)
+
+
 def test_embedding_cosine_dedup_drops_planted_near_dups(spark):
     from powershap_spark.operators.similarity import embedding_cosine_dedup
 

@@ -157,46 +157,67 @@ def main():
             }
         )
 
-    for stride, nprobe in ((64, 1), (64, 2), (64, 4), (32, 2), (32, 4)):
-        n_cells = len(stride_centroids(emb, stride))
-        # candidate fraction: nprobe cells per query; cell sizes vary, so
-        # count the actual join fan-out
-        from powershap_spark.operators.similarity import _cell_scores  # noqa
+    from powershap_spark.operators.similarity import kmeans_centroids
 
+    import numpy as np
+
+    vecs = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64) for r in emb.collect()
+    }
+    qvecs = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.collect()
+    }
+
+    kmeans_cache = {}
+    for stride, nprobe, n_iters in (
+        (64, 1, 0),
+        (64, 2, 0),
+        (64, 4, 0),
+        (32, 2, 0),
+        (32, 4, 0),
+        (64, 1, 3),
+        (64, 2, 3),
+        (64, 4, 3),
+        (32, 2, 3),
+    ):
+        if n_iters:
+            if (stride, n_iters) not in kmeans_cache:
+                kmeans_cache[(stride, n_iters)] = kmeans_centroids(
+                    emb, stride=stride, n_iters=n_iters
+                )
+            cents_arg = kmeans_cache[(stride, n_iters)]
+        else:
+            cents_arg = None
         t0 = time.monotonic()
-        approx = ivf_topk(emb, queries, k=k, stride=stride, nprobe=nprobe).toPandas()
+        approx = ivf_topk(
+            emb, queries, k=k, stride=stride, nprobe=nprobe, centroids=cents_arg
+        ).toPandas()
         wall = time.monotonic() - t0
         # approx contains only top-k rows; recount candidates via the same
-        # assignment (cheap: one more pass at bench scale)
-        cents = stride_centroids(emb, stride)
-        import numpy as np
-
-        vecs = {
-            int(r[0]): np.asarray(r[1], dtype=np.float64)
-            for r in emb.collect()
-        }
+        # assignment (cheap: one more pass at bench scale), using the SAME
+        # centroids the query used (k-means-refined when n_iters > 0)
+        cents = cents_arg if cents_arg is not None else stride_centroids(emb, stride)
         cmat = np.stack([np.asarray(c, dtype=np.float64) for _, c in cents])
         cmat /= np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-30
-        assign = {}
-        for vid, v in vecs.items():
-            s = cmat @ (v / (np.linalg.norm(v) + 1e-30))
-            assign[vid] = int(np.argmax(s))
         cell_sizes = {}
-        for vid, c in assign.items():
+        for v in vecs.values():
+            s = cmat @ (v / (np.linalg.norm(v) + 1e-30))
+            c = int(np.argmax(s))
             cell_sizes[c] = cell_sizes.get(c, 0) + 1
         n_cand = 0
-        for r in queries.collect():
-            qv = np.asarray(r[1], dtype=np.float64)
+        for qv in qvecs.values():
             s = cmat @ (qv / (np.linalg.norm(qv) + 1e-30))
             probed = np.argsort(-s)[:nprobe]
             n_cand += sum(cell_sizes.get(int(c), 0) for c in probed)
+        tag = f"_kmeans{n_iters}" if n_iters else ""
         results.append(
             {
-                "variant": f"ivf_stride={stride}_nprobe={nprobe}",
+                "variant": f"ivf_stride={stride}_nprobe={nprobe}{tag}",
                 "recall": round(_recall(approx, exact_sets, k), 4),
                 "cand_frac": round(n_cand / (n_vec * n_q), 4),
                 "wall_s": round(wall, 2),
-                "n_cells": n_cells,
+                "n_cells": len(cents),
             }
         )
 
