@@ -138,6 +138,23 @@ def q_rolling_strict_past(spark, sf_dir):
     )
 
 
+def q_past_target_encode(spark, sf_dir):
+    """Strictly-past target encoding of event_type by the running mean of
+    `value` over earlier-ts same-key rows (operators/encode.py): the
+    leakage-safe categorical encoder, RANGE frame on integer event-time
+    micros so simultaneous rows never see each other."""
+    from powershap_spark.operators.encode import past_target_encode
+
+    e = _read(spark, sf_dir, "events")
+    out = past_target_encode(e, key="event_type", label="value", ts="ts")
+    return out.select(
+        "event_id",
+        "event_type",
+        "te_cnt",
+        F.round("te_mean", 6).alias("te_mean"),
+    )
+
+
 def q_session_gap_sessionize(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1050,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": q_window_lag_lead,
         "rolling_strict_past": q_rolling_strict_past,
         "session_gap_sessionize": q_session_gap_sessionize,
+        "past_target_encode_events": q_past_target_encode,
         "ffill_strict_past": q_ffill_strict_past,
         "asof_join_events": q_asof_join_events,
         "asof_join_bucketed_events": q_asof_join_bucketed_events,
@@ -1565,6 +1583,14 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                      AS BIGINT) AS session_seq
             FROM g
+        """,
+        "past_target_encode_events": """
+            SELECT event_id, event_type,
+                   count(value) OVER w AS te_cnt,
+                   round(avg(value) OVER w, 6) AS te_mean
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
         "ffill_strict_past": """
             SELECT user_id, event_id,

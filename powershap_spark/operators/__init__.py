@@ -1,5 +1,6 @@
 from .asof import asof_join, asof_join_broadcast, asof_join_bucketed
 from .curate import curate_corpus
+from .encode import past_target_encode
 from .scrub import canonicalize_url, pii_counts, scrub_pii
 from .windows import (
     FeatureSpec,
@@ -25,6 +26,7 @@ __all__ = [
     "asof_join_bucketed",
     "canonicalize_url",
     "curate_corpus",
+    "past_target_encode",
     "pii_counts",
     "scrub_pii",
     "FeatureSpec",

@@ -1,0 +1,155 @@
+"""Leakage-safe categorical encodings over event time.
+
+Target encoding is the canonical feature-engineering leak: representing a
+categorical key by statistics of the LABEL must not let a row see its own
+label, any simultaneous label, or any future label. This module makes the
+no-leak contract structural, the same way ``windows.py`` does for entity
+features (SURVEY §2.5): the aggregation frame is a RANGE frame over
+integer event-time microseconds ending at ``-1``, so only STRICTLY
+EARLIER rows contribute. Rows sharing a timestamp never see each other —
+order within a timestamp is storage-dependent, so any intra-ts visibility
+would be nondeterministic AND leaky.
+
+The reference (predict-idlab/powershap) consumes a ready feature matrix
+(powershap.py:222-496) and ships no encoder; this is part of the
+beyond-reference feature-store surface a transcript pipeline needs
+(e.g. encode ``tool`` or ``role`` by the running outcome mean).
+
+Scale shape (10^12 rows):
+- plain path: ONE window over ``key`` ordered by event time — one
+  shuffle, one sort. A hot category (one key covering ~all rows)
+  serializes that window task, exactly like a hot conversation.
+- ``grouped=True``: aggregate (key, ts) partials first (partially
+  aggregable — map-side combine bounds the shuffle to distinct
+  (key, ts) pairs), run the expanding window over the GROUPED rows
+  (partition size = distinct timestamps per key, not rows), then join
+  the encodings back on (key, ts). Value-identical to the plain path
+  (pytest-pinned).
+- ``grouped=True, chunk_size=N``: the expanding pass over the grouped
+  partials runs through ``salted.salted_cumsum`` — contiguous ts-range
+  chunks with carry-in prefixes — so even a key with billions of
+  DISTINCT timestamps never serializes. Value-identical (pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .salted import salted_cumsum
+
+__all__ = ["past_target_encode"]
+
+
+def _event_micros(ts: str) -> Column:
+    # integer microseconds: exact range-frame arithmetic (a double epoch
+    # loses sub-microsecond exactness at 1.7e9 s magnitudes)
+    return F.unix_micros(F.col(ts).cast("timestamp_ltz"))
+
+
+def _smooth(sum_past: Column, cnt_past: Column, prior, prior_weight) -> Column:
+    if prior_weight:
+        return (sum_past + F.lit(float(prior)) * F.lit(float(prior_weight))) / (
+            cnt_past + F.lit(float(prior_weight))
+        )
+    return F.when(cnt_past > 0, sum_past / cnt_past)
+
+
+def past_target_encode(
+    df: DataFrame,
+    key: str = "event_type",
+    label: str = "value",
+    ts: str = "ts",
+    prior: float | None = None,
+    prior_weight: float = 0.0,
+    out_prefix: str = "te",
+    grouped: bool = False,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Append strictly-past target-encoding columns for ``key``:
+
+    - ``{out_prefix}_cnt``: count of non-null ``label`` values on rows of
+      the same key with STRICTLY EARLIER ``ts`` (long, 0 when none);
+    - ``{out_prefix}_mean``: their mean, optionally smoothed toward
+      ``prior`` with pseudo-count ``prior_weight``:
+      ``(sum + prior*prior_weight) / (cnt + prior_weight)``.
+      Unsmoothed (``prior_weight=0``): null when no past rows exist —
+      an honest "no information" marker rather than a fabricated value.
+
+    Null labels contribute to neither count nor sum (a row whose label is
+    not yet known is simply absent from the statistic).
+
+    ``grouped`` / ``chunk_size`` select the scale paths documented in the
+    module docstring; all paths are value-identical.
+    """
+    if prior_weight and prior is None:
+        raise ValueError("prior_weight > 0 requires an explicit prior")
+    if chunk_size is not None and not grouped:
+        raise ValueError("chunk_size only applies to the grouped path")
+    cnt_col, mean_col = f"{out_prefix}_cnt", f"{out_prefix}_mean"
+
+    if not grouped:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(_event_micros(ts))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        # both aggregates in ONE select over the SAME spec so Catalyst
+        # collapses them into a single Window operator (one sort, not two)
+        d = df.select(
+            "*",
+            F.count(label).over(w).alias(cnt_col),
+            F.sum(label).over(w).alias("__sum_past"),
+        )
+        return d.withColumn(
+            mean_col,
+            _smooth(
+                F.coalesce(F.col("__sum_past"), F.lit(0.0)),
+                F.col(cnt_col),
+                prior,
+                prior_weight,
+            ),
+        ).drop("__sum_past")
+
+    g = df.groupBy(key, ts).agg(
+        F.sum(label).alias("__s"), F.count(label).alias("__c")
+    )
+    if chunk_size is None:
+        # ts is DISTINCT within a key post-group, so the exclusive ROWS
+        # frame over ts order IS the strictly-past RANGE frame
+        wg = (
+            Window.partitionBy(key)
+            .orderBy(_event_micros(ts))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gp = g.select(
+            key,
+            ts,
+            F.coalesce(F.sum("__s").over(wg), F.lit(0.0)).alias("__sum_past"),
+            F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__cnt_past"),
+        )
+    else:
+        gp = salted_cumsum(
+            g, F.coalesce(F.col("__s"), F.lit(0.0)), "__sum_past",
+            entity=key, order=ts, chunk_size=chunk_size, upper=-1,
+        )
+        gp = salted_cumsum(
+            gp, "__c", "__cnt_past",
+            entity=key, order=ts, chunk_size=chunk_size, upper=-1,
+        ).select(
+            key, ts, "__sum_past", F.col("__cnt_past").cast("long").alias("__cnt_past")
+        )
+    out = df.join(gp, [key, ts], "left")
+    return (
+        out.withColumn(cnt_col, F.coalesce(F.col("__cnt_past"), F.lit(0)))
+        .withColumn(
+            mean_col,
+            _smooth(
+                F.coalesce(F.col("__sum_past"), F.lit(0.0)),
+                F.col(cnt_col),
+                prior,
+                prior_weight,
+            ),
+        )
+        .drop("__sum_past", "__cnt_past")
+    )
