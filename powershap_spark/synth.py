@@ -203,6 +203,81 @@ def probes(
     )
 
 
+def documents(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    vocab_size: int = 64,
+    mean_words: int = 60,
+    near_dup_frac: float = 0.08,
+    mutate_every: int = 25,
+    seed: int = 13,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents table, schema-compatible with the driver's
+    ``documents.parquet`` (doc_id, text, lang, source, n_chars) — for
+    dedup/curation benches at corpus sizes the fixed testdata doesn't
+    reach.
+
+    ``near_dup_frac`` of docs (doc_id >= 16) copy an EARLIER doc's word
+    stream with every ``mutate_every``-th word replaced — planted
+    near-duplicates (every 25th word mutated over 3-gram shingles lands
+    around estimated Jaccard ~0.8), so MinHash/SimHash benches have
+    realistic suppression work, not just identity pass-through.
+
+    Every value is a pure function of (seed, source-id, position):
+    order-, partition- and scale-independent; pure Spark expressions,
+    no Python UDFs (the same contract as ``transcripts``)."""
+    vocab = [f"w{i:03d}" for i in range(int(vocab_size))]
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+
+    d = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    if n_partitions:
+        d = d.repartition(n_partitions)
+
+    is_dup = (_u01(seed, F.lit("dup"), F.col("doc_id")) < near_dup_frac) & (
+        F.col("doc_id") >= 16
+    )
+    base_id = F.pmod(_h(seed, F.lit("base"), F.col("doc_id")), F.col("doc_id"))
+    # the word STREAM is keyed by src: a near-dup inherits its base's
+    # stream (and length), then mutates every mutate_every-th position
+    src = F.when(is_dup, base_id).otherwise(F.col("doc_id"))
+    n_words = (
+        F.pmod(_h(seed, F.lit("n"), src), F.lit(2 * mean_words)) + 10
+    ).cast("int")
+
+    def word(keyed_by, i):
+        return F.element_at(
+            vocab_arr,
+            (F.pmod(_h(seed, F.lit("w"), keyed_by, i), F.lit(len(vocab))) + 1).cast(
+                "int"
+            ),
+        )
+
+    src_c, dup_c, doc_c = src, is_dup, F.col("doc_id")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.when(
+                dup_c & (F.pmod(i, F.lit(int(mutate_every))) == 0),
+                word(doc_c, i),
+            ).otherwise(word(src_c, i)),
+        ),
+        " ",
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+        (F.pmod(_h(seed, F.lit("lang"), src), F.lit(4)) + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.format_string("src%d", F.pmod(_h(seed, F.lit("src"), src), F.lit(5))).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text"))
+
+
 def parity_matrix(
     n_samples: int = 500,
     n_features: int = 10,

@@ -96,3 +96,35 @@ def test_committed_fixture_matches_generator(spark):
     # probe count sanity (full probe parity is covered via the oracle gate)
     p = synth.probes(spark, t, probe_frac=PROBE_FRAC)
     assert p.count() == len(pd.read_parquet(TRANSCRIPTS.replace("transcripts_", "probes_")))
+
+
+def test_documents_deterministic_partition_invariant_and_schema(spark):
+    a = synth.documents(spark, n_docs=500).toPandas().sort_values("doc_id")
+    b = (
+        synth.documents(spark, n_docs=500, n_partitions=7)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # schema-compatible with the driver documents table
+    assert list(a.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert (a.n_chars == a.text.str.len()).all()
+
+
+def test_documents_planted_near_dups_are_found(spark):
+    """The near_dup_frac plant must actually register as near-duplicates:
+    each dup copies an earlier doc's word stream mutating every k-th word,
+    so token-level Jaccard vs its base stays high while distinct docs stay
+    low — the separation MinHash dedup relies on."""
+    import pandas as pd
+
+    pdf = synth.documents(spark, n_docs=800, near_dup_frac=0.1).toPandas()
+    from powershap_spark.operators.dedup import minhash_dedup
+
+    kept = minhash_dedup(
+        spark.createDataFrame(pdf), threshold=0.6
+    ).count()
+    dropped = len(pdf) - kept
+    # ~10% planted minus those whose mutation dips below threshold;
+    # bound loosely — the point is the plant bites, not an exact rate
+    assert 0.03 * len(pdf) < dropped < 0.15 * len(pdf), dropped
