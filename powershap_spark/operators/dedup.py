@@ -34,6 +34,12 @@ __all__ = [
     "benchmark_contamination",
     "dedup_by_components",
     "deterministic_sample",
+    "build_minhash_signature_store",
+    "incremental_minhash_dedup",
+    "incremental_minhash_dedup_bucketed",
+    "write_banded_signature_store",
+    "append_banded_signatures",
+    "append_signatures",
     "affine_params",
     "POLY_MOD",
     "BAND_MOD",
@@ -429,6 +435,140 @@ def incremental_minhash_dedup(
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    dupes = (
+        _pairs_with_est(pair_ids, union_sigs, id_col, "minhash")
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = new_df.join(dupes, id_col, "left_anti")
+    return kept, new_sigs
+
+
+def write_banded_signature_store(
+    sigs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash",
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the signature store in its BANDED form, bucketed by the band
+    join key — the 10^12-scale layout (BENCH/ANALYSIS_r06 §6): the daily
+    incremental band join then scans the store IN PLACE (zero Exchange on
+    the store side — Spark matches the bucket spec to the join's required
+    distribution) and only the new shard shuffles into the store's
+    bucketing. Two metastore tables:
+
+      {prefix}_bands  (id, band_id, band_hash), bucketed by
+                      (band_id, band_hash) into ``n_buckets``
+      {prefix}_sigs   (id, minhash) — candidate signature re-attach
+
+    Same store contract as ``build_minhash_signature_store``: ALL ingested
+    ids, kept or dropped. Append new shards with
+    ``append_banded_signatures`` (same bucket spec, id-idempotent)."""
+    from ..sources.tableio import write_bucketed
+
+    rows_per_band = max(1, num_hashes // bands)
+    banded = _banded(sigs, id_col, "minhash", bands, rows_per_band, hash_family)
+    write_bucketed(
+        banded.withColumnRenamed("__id", id_col),
+        f"{table_prefix}_bands",
+        ["band_id", "band_hash"],
+        n_buckets=n_buckets,
+        path=f"{path}_bands" if path else None,
+    )
+    w = sigs.select(id_col, "minhash").write.mode("overwrite")
+    if path:
+        w = w.option("path", f"{path}_sigs")
+    w.saveAsTable(f"{table_prefix}_sigs")
+
+
+def append_banded_signatures(
+    spark,
+    table_prefix: str,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash",
+    n_buckets: int = 32,
+) -> None:
+    """Id-idempotent append of a shard's signatures to the banded store
+    (both tables); a retried shard adds no duplicate rows. The bands
+    append re-declares the identical bucket spec so the store stays
+    bucket-aligned for the zero-exchange daily join."""
+    fresh = new_sigs.join(
+        spark.table(f"{table_prefix}_sigs").select(id_col), id_col, "left_anti"
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    banded = _banded(fresh, id_col, "minhash", bands, rows_per_band, hash_family)
+    banded.withColumnRenamed("__id", id_col).write.mode("append").bucketBy(
+        int(n_buckets), "band_id", "band_hash"
+    ).saveAsTable(f"{table_prefix}_bands")
+    fresh.select(id_col, "minhash").write.mode("append").saveAsTable(
+        f"{table_prefix}_sigs"
+    )
+
+
+def incremental_minhash_dedup_bucketed(
+    new_df: DataFrame,
+    spark,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash",
+    seed: int = 7,
+):
+    """``incremental_minhash_dedup`` against a ``write_banded_signature_
+    store`` layout: value-identical kept set (pytest-pinned), but the
+    old-vs-new band join reads the store's pre-bucketed (band_id,
+    band_hash) table with NO store-side exchange — at 10^12 ids the store
+    band rows are the join's dominant shuffle, and this layout deletes it.
+    The new-vs-new pairs come from a shard self-join (shard-sized).
+    Returns ``(kept_new_docs, new_sigs)`` like the unbucketed variant."""
+    from ..caching import tracked_persist
+
+    new_sigs = tracked_persist(
+        build_minhash_signature_store(
+            new_df, text_col, id_col, num_hashes, shingle_n, hash_family, seed
+        )
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    store_bands = (
+        spark.table(f"{table_prefix}_bands").withColumnRenamed(id_col, "__id")
+    )
+    b_new = tracked_persist(
+        _banded(new_sigs, id_col, "minhash", bands, rows_per_band, hash_family)
+    )
+    cond = lambda a, b: (  # noqa: E731
+        (F.col(f"{a}.band_id") == F.col(f"{b}.band_id"))
+        & (F.col(f"{a}.band_hash") == F.col(f"{b}.band_hash"))
+        & (F.col(f"{a}.__id") < F.col(f"{b}.__id"))
+    )
+    def _pairs(a_df):
+        return (
+            a_df.alias("a")
+            .join(b_new.alias("b"), cond("a", "b"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        )
+
+    pair_ids = (
+        _pairs(store_bands)
+        .unionByName(_pairs(b_new))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    union_sigs = (
+        spark.table(f"{table_prefix}_sigs")
+        .select(F.col(id_col), "minhash")
+        .unionByName(new_sigs)
     )
     dupes = (
         _pairs_with_est(pair_ids, union_sigs, id_col, "minhash")

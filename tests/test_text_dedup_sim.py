@@ -844,3 +844,79 @@ def test_signature_store_append_idempotent(spark, docs):
     a = once.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = twice.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_banded_store_parity_append_and_plan(spark, docs, tmp_path):
+    """write_banded_signature_store / incremental_minhash_dedup_bucketed:
+    (1) kept set identical to the unbucketed incremental path;
+    (2) appends are id-idempotent and keep the bucket layout usable;
+    (3) the store side of the old-vs-new band join is a bucketed scan with
+        ZERO exchange — only the new shard shuffles (the 10^12-scale
+        property the layout exists for, ANALYSIS_r06 §6)."""
+    from powershap_spark.operators.dedup import (
+        _banded,
+        append_banded_signatures,
+        build_minhash_signature_store,
+        incremental_minhash_dedup,
+        incremental_minhash_dedup_bucketed,
+        write_banded_signature_store,
+    )
+
+    prefix = "t_banded_store"
+    for t in (f"{prefix}_bands", f"{prefix}_sigs"):
+        spark.sql(f"drop table if exists {t}")
+    try:
+        kw = dict(num_hashes=64, bands=16, threshold=0.5, shingle_n=2)
+        old = docs.filter(F.col("doc_id") < 3)
+        new = docs.filter(F.col("doc_id") >= 3)
+        store_sigs = build_minhash_signature_store(old, num_hashes=64, shingle_n=2)
+        write_banded_signature_store(
+            store_sigs, prefix, num_hashes=64, bands=16,
+            path=str(tmp_path / "store"),
+        )
+        kept_b, new_sigs = incremental_minhash_dedup_bucketed(
+            new, spark, prefix, **kw
+        )
+        kept_p, _ = incremental_minhash_dedup(new, store_sigs, **kw)
+        assert set(kept_b.toPandas().doc_id) == set(kept_p.toPandas().doc_id)
+
+        # (3) plan property, with auto-broadcast off so the join shape is
+        # the at-scale SortMergeJoin, not a toy-size broadcast
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            sb = spark.table(f"{prefix}_bands").withColumnRenamed(
+                "doc_id", "__id"
+            )
+            bn = _banded(new_sigs, "doc_id", "minhash", 16, 4, "xxhash")
+            j = sb.alias("a").join(
+                bn.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan  # shard only
+
+        # (2) append: idempotent by id, both tables grow exactly once
+        n_bands = spark.table(f"{prefix}_bands").count()
+        n_sigs = spark.table(f"{prefix}_sigs").count()
+        append_banded_signatures(
+            spark, prefix, new_sigs, num_hashes=64, bands=16
+        )
+        grown_bands = spark.table(f"{prefix}_bands").count()
+        grown_sigs = spark.table(f"{prefix}_sigs").count()
+        assert grown_sigs == n_sigs + new_sigs.count()
+        assert grown_bands == n_bands + new_sigs.count() * 16
+        append_banded_signatures(  # retried shard: no-op
+            spark, prefix, new_sigs, num_hashes=64, bands=16
+        )
+        assert spark.table(f"{prefix}_bands").count() == grown_bands
+        assert spark.table(f"{prefix}_sigs").count() == grown_sigs
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_sigs"):
+            spark.sql(f"drop table if exists {t}")

@@ -8,7 +8,14 @@ Compare:
              signature store must run (re-shingles + re-hashes the whole
              corpus), then filter to shard ids;
   incremental incremental_minhash_dedup(shard, store) — shingles only the
-             shard, joins its bands against the persisted (id, band) rows.
+             shard, joins its bands against the persisted (id, band) rows;
+  bucketed   incremental_minhash_dedup_bucketed(shard, prefix) — same join
+             against a write_banded_signature_store layout: the store's
+             band rows are PRE-bucketed by (band_id, band_hash), so the
+             store side of the daily join needs zero Exchange (the 10^12-id
+             property; at bench scale the banding work it skips is small,
+             so expect ≈parity here and read the plan assertion in
+             test_text_dedup_sim.py for the scale claim).
 
 Also reports store-build wall (the one-off cost the incremental path
 amortizes) and asserts the kept sets are IDENTICAL (the oracle contract,
@@ -47,7 +54,9 @@ def main():
     from powershap_spark.operators.dedup import (
         build_minhash_signature_store,
         incremental_minhash_dedup,
+        incremental_minhash_dedup_bucketed,
         minhash_dedup,
+        write_banded_signature_store,
     )
 
     spark = get_spark(master="local[32]", shuffle_partitions=32)
@@ -75,11 +84,21 @@ def main():
     # pipeline would) so the incremental arm reads signatures, not text
     store_path = "/tmp/bench_sig_store.parquet"
     t0 = time.monotonic()
-    build_minhash_signature_store(base).write.mode("overwrite").parquet(store_path)
+    base_sigs = build_minhash_signature_store(base)
+    base_sigs.write.mode("overwrite").parquet(store_path)
     store_build_s = time.monotonic() - t0
 
-    full_walls, inc_walls = [], []
-    kept_full = kept_inc = None
+    prefix = "bench_banded_store"
+    for t in (f"{prefix}_bands", f"{prefix}_sigs"):
+        spark.sql(f"drop table if exists {t}")
+    t0 = time.monotonic()
+    write_banded_signature_store(
+        spark.read.parquet(store_path), prefix, path=f"/tmp/{prefix}"
+    )
+    banded_store_build_s = time.monotonic() - t0
+
+    full_walls, inc_walls, bkt_walls = [], [], []
+    kept_full = kept_inc = kept_bkt = None
     for _ in range(repeat):  # interleaved: noise hits both arms equally
         # cold rounds: minhash_dedup tracked-persists its signatures and
         # Spark's CacheManager matches identical logical plans, so without
@@ -99,9 +118,15 @@ def main():
         kept_inc = set(r[0] for r in kept_new.select("doc_id").collect())
         inc_walls.append(time.monotonic() - t0)
 
-    assert kept_full == kept_inc, (
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        kept_b, _sigs_b = incremental_minhash_dedup_bucketed(shard, spark, prefix)
+        kept_bkt = set(r[0] for r in kept_b.select("doc_id").collect())
+        bkt_walls.append(time.monotonic() - t0)
+
+    assert kept_full == kept_inc == kept_bkt, (
         f"contract violated: full-restricted {len(kept_full)} != "
-        f"incremental {len(kept_inc)}"
+        f"incremental {len(kept_inc)} / bucketed {len(kept_bkt)}"
     )
 
     out = {
@@ -109,12 +134,15 @@ def main():
         "n_docs": n_docs,
         "n_shard": n_shard,
         "store_build_s": round(store_build_s, 2),
+        "banded_store_build_s": round(banded_store_build_s, 2),
         "full_min_s": round(min(full_walls), 2),
         "incremental_min_s": round(min(inc_walls), 2),
+        "bucketed_min_s": round(min(bkt_walls), 2),
         "speedup": round(min(full_walls) / min(inc_walls), 2),
         "kept_of_shard": len(kept_inc),
         "full_raw": [round(w, 2) for w in full_walls],
         "incremental_raw": [round(w, 2) for w in inc_walls],
+        "bucketed_raw": [round(w, 2) for w in bkt_walls],
     }
     print(json.dumps(out))
 
