@@ -313,6 +313,46 @@ def q_deterministic_sample_documents(spark, sf_dir):
     return deterministic_sample(d, "doc_id", 0.25, seed=7, hash_family="poly")
 
 
+def q_stratified_sample_documents(spark, sf_dir):
+    """Corpus mixing: per-language deterministic sampling rates in one
+    filter pass (en kept at 50%, de at 15%, everything else at 5%) — the
+    operator that re-weights a raw crawl into a training mix. Same poly
+    hash family as deterministic_sample so DuckDB recomputes the exact
+    membership set from the same affine literals."""
+    from powershap_spark.operators.dedup import stratified_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.15},
+        default_fraction=0.05, seed=7, hash_family="poly",
+    )
+
+
+def q_token_budget_shards_documents(spark, sf_dir):
+    """Token-budget sharding: contiguous-in-id training shards of ~4096
+    whitespace tokens via a corpus-wide EXCLUSIVE prefix sum — computed
+    with the two-phase range-bucketed scan (operators/sharding.py), never
+    an Exchange SinglePartition (plan-asserted in test_sharding.py; the
+    oracle's SUM ... OVER (ORDER BY) is exactly the single-task plan the
+    operator exists to avoid)."""
+    from powershap_spark.operators.sharding import token_budget_shards
+
+    d = _read(spark, sf_dir, "documents")
+    return token_budget_shards(d, budget_tokens=4096, n_buckets=8)
+
+
+def q_event_transitions(spark, sf_dir):
+    """Action-sequence mining: the corpus-wide Markov transition counts
+    over consecutive event types within each user's timeline (which action
+    follows which) — one per-entity lag window + a partial+final count."""
+    from powershap_spark.operators.windows import transition_counts
+
+    e = _read(spark, sf_dir, "events")
+    return transition_counts(
+        e, "user_id", ["ts", "event_id"], "event_type", out_prev="prev_type"
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from powershap_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -1077,6 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "token_budget_shards_documents": q_token_budget_shards_documents,
+        "event_transitions": q_event_transitions,
         "token_counts": q_token_counts,
         "pii_scrub_documents": q_pii_scrub_documents,
         "curation_pipeline_documents": q_curation_pipeline_documents,
@@ -1851,6 +1894,40 @@ def oracle_sql() -> dict[str, str]:
                      ) AS ph
               FROM documents)
             WHERE ((105490554 * ph + 358133587) % 1000000007) / 1000000007.0 < 0.25
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     list_reduce(
+                       list_prepend(0::BIGINT,
+                         [unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]),
+                       (acc, x) -> (acc * 31 + x) % 1000000007
+                     ) AS ph
+              FROM documents)
+            WHERE ((105490554 * ph + 358133587) % 1000000007) / 1000000007.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15 ELSE 0.05 END
+        """,
+        "token_budget_shards_documents": """
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) // 4096 AS BIGINT) AS shard_id
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+              FROM documents)
+        """,
+        "event_transitions": """
+            SELECT prev_type, event_type, COUNT(*) AS n_transitions FROM (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type,
+                     event_type
+              FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "fingerprint_documents": """
             SELECT doc_id,

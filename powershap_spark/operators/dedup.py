@@ -34,6 +34,7 @@ __all__ = [
     "benchmark_contamination",
     "dedup_by_components",
     "deterministic_sample",
+    "stratified_sample",
     "build_minhash_signature_store",
     "incremental_minhash_dedup",
     "incremental_minhash_dedup_bucketed",
@@ -822,18 +823,58 @@ def deterministic_sample(
     membership set (the key is stringified for the char hash)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    u = _sample_uniform(key_col, seed, hash_family)
+    return df.filter(u < F.lit(float(fraction)))
+
+
+def _sample_uniform(key_col: str, seed: int, hash_family: str) -> "F.Column":
+    """Deterministic uniform-[0,1) draw from a row key — the shared
+    membership primitive of ``deterministic_sample`` / ``stratified_sample``."""
     k = F.col(key_col)
     if hash_family == "xxhash":
         # uniform in [0, 1): splitmix-style xxhash64 bucket / 2^64
         h = F.xxhash64(k, F.lit(seed))
-        u = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-    elif hash_family == "poly":
+        return (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    if hash_family == "poly":
         a_l, b_l = affine_params(1, seed)
         ph = _poly_char_hash(k.cast("string"))
-        u = F.pmod(a_l[0] * ph + b_l[0], F.lit(POLY_MOD)) / F.lit(float(POLY_MOD))
-    else:
-        raise ValueError(f"unknown hash_family {hash_family!r}")
-    return df.filter(u < F.lit(float(fraction)))
+        return F.pmod(a_l[0] * ph + b_l[0], F.lit(POLY_MOD)) / F.lit(float(POLY_MOD))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-MIXING operator: one
+    scan re-weights sources/languages/quality tiers to target proportions
+    (e.g. ``{"en": 0.5, "code": 1.0}``) with ``deterministic_sample``'s
+    guarantees per stratum: membership is a pure function of (key, seed,
+    the row's OWN stratum rate), so reruns/repartitionings/resumes agree,
+    and raising one stratum's rate keeps every previously sampled row while
+    touching no other stratum (nested samples per stratum; strata are
+    independent because the draw ignores the stratum entirely).
+
+    Scale shape: a single ``filter`` over a hash expression and a literal
+    CASE on ``strata_col`` — no shuffle, no per-stratum pass, no driver
+    loop; Catalyst pushes it into the scan like any predicate. Unknown
+    strata fall back to ``default_fraction`` (0.0 = drop, the safe default
+    for an allowlist-style mix)."""
+    for s, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    u = _sample_uniform(key_col, seed, hash_family)
+    frac = F.lit(float(default_fraction))
+    for s, f in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac)
 
 
 def benchmark_contamination(

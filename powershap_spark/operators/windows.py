@@ -39,6 +39,7 @@ __all__ = [
     "ffill",
     "bfill",
     "row_number_ordered",
+    "transition_counts",
     "text_stats",
     "text_stats_ints",
     "build_features",
@@ -205,6 +206,36 @@ def bfill(col: str, name: str | None = None) -> FeatureSpec:
 
 def row_number_ordered(name: str = "turn_seq") -> FeatureSpec:
     return FeatureSpec(name, lambda w: F.row_number().over(w) - F.lit(1))
+
+
+def transition_counts(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    action_col: str,
+    out_prev: str = "prev_action",
+    out_n: str = "n_transitions",
+) -> DataFrame:
+    """Action-sequence mining over transcripts: corpus-wide counts of
+    consecutive ``action_col`` bigrams within each entity's ordered
+    timeline — the empirical Markov transition matrix over tools/roles/
+    event types (which tool follows which, per the whole corpus). The
+    first action of each entity has no predecessor and contributes no row.
+
+    ``order_cols`` must totally order rows within an entity (ts +
+    tie-break), or "consecutive" is ill-defined.
+
+    Scale shape: one per-entity window lag (the same exchange any
+    per-conversation feature pass already pays — in a combined pipeline
+    Catalyst reuses the sort) followed by a partial+final count aggregate;
+    output is |actions|^2-bounded, tiny regardless of corpus size."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    return (
+        df.withColumn(out_prev, F.lag(F.col(action_col)).over(w))
+        .filter(F.col(out_prev).isNotNull())
+        .groupBy(out_prev, action_col)
+        .agg(F.count("*").alias(out_n))
+    )
 
 
 # --- W8: per-turn text stats (scalar exprs feeding W1/W2) --------------------

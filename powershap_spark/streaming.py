@@ -43,6 +43,7 @@ __all__ = [
     "run_stream_to_table",
     "streaming_exact_dedup",
     "streaming_point_in_time_join",
+    "streaming_incremental_minhash_dedup",
 ]
 
 TRANSCRIPT_SCHEMA = StructType(
@@ -539,3 +540,91 @@ def streaming_point_in_time_join(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_incremental_minhash_dedup(
+    stream_docs: DataFrame,
+    store_dir: str,
+    kept_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash",
+    seed: int = 7,
+):
+    """Continuous-ingest near-dup dedup: each microbatch of new documents is
+    deduplicated against the persisted signature store with
+    ``incremental_minhash_dedup`` (batch semantics, oracle-checked there),
+    kept docs land in ``kept_dir`` and the batch's signatures (ALL ids,
+    kept or dropped — the greedy-chain requirement) are appended to
+    ``store_dir``. The streaming form of the daily-ingest operator: run
+    with ``trigger(availableNow=True)`` per arriving shard set, or leave
+    running on a feed.
+
+    Returns the ``DataStreamWriter`` (caller picks the trigger/checkpoint
+    and calls ``start()``).
+
+    Exactness: kept set == full-corpus ``minhash_dedup`` restricted to each
+    batch's ids, under the same monotone-ingest-id contract as the batch
+    operator (ids nondecreasing with batch order — the natural shard
+    layout).
+
+    Idempotence/restart: each batch writes per-batch directories
+    (``.../batch=N``) with mode=overwrite, so a crashed-and-replayed
+    microbatch (at-least-once ``foreachBatch``) rewrites the same paths
+    instead of duplicating rows. A replay that sees a store already
+    containing its own or FUTURE ids is still exact: the band join only
+    lets a STRICTLY SMALLER stored id suppress a new doc, so stale store
+    contents cannot change a verdict. Restarting with the same checkpoint
+    resumes after the last committed batch and leaves prior directories
+    untouched.
+
+    Scale shape: identical to the batch operator per microbatch — the
+    corpus contributes only signature rows (no text re-read), the shard
+    side is batch-sized; the store directory is append-only parquet
+    (swap in ``write_banded_signature_store`` bucketed tables where a
+    metastore exists — dedup.py carries that layout).
+    """
+    from pyspark.sql.types import ArrayType
+
+    from .operators.dedup import incremental_minhash_dedup
+
+    sig_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("minhash", ArrayType(LongType())),
+        ]
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = (
+                spark.read.schema(sig_schema)
+                .option("basePath", store_dir)
+                .parquet(store_dir)
+                .select(id_col, "minhash")
+            )
+            store.head(1)  # surface PATH_NOT_FOUND before planning the join
+        except Exception:
+            store = spark.createDataFrame([], sig_schema)
+        kept, new_sigs = incremental_minhash_dedup(
+            batch_df,
+            store,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            hash_family=hash_family,
+            seed=seed,
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_dir}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        new_sigs.unpersist()
+
+    return stream_docs.writeStream.foreachBatch(_batch).outputMode("update")

@@ -1,0 +1,162 @@
+"""Global prefix-sum + token-budget sharding (operators/sharding.py) and
+the stratified-sampling / transition-mining operators added with them."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from powershap_spark.operators.sharding import (
+    global_running_sum,
+    token_budget_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.permutation(np.arange(997, dtype=np.int64)),
+            "v": rng.integers(0, 50, 997).astype(np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(7), pdf
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_global_running_sum_matches_pandas_any_bucketing(spark, vals, n_buckets):
+    """Values are exact and bucket-count-independent (the boundary
+    estimation can only move rows between buckets, never change a sum)."""
+    df, pdf = vals
+    expect = pdf.sort_values("k").assign(
+        inc=lambda d: d.v.cumsum(),
+        exc=lambda d: d.v.cumsum() - d.v,
+    )
+    inc = (
+        global_running_sum(df, "v", "k", out_col="s", n_buckets=n_buckets)
+        .toPandas()
+        .sort_values("k")
+    )
+    assert (inc.s.to_numpy() == expect.inc.to_numpy()).all()
+    exc = (
+        global_running_sum(
+            df, "v", "k", out_col="s", inclusive=False, n_buckets=n_buckets
+        )
+        .toPandas()
+        .sort_values("k")
+    )
+    assert (exc.s.to_numpy() == expect.exc.to_numpy()).all()
+
+
+def test_global_running_sum_no_single_partition_exchange(spark, vals):
+    """The plan property the operator exists for: the naive global-window
+    spelling funnels every row through Exchange SinglePartition (one task,
+    sequential at any cluster size); the two-phase scan never does."""
+    df, _ = vals
+    out = global_running_sum(df, "v", "k", out_col="s", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+    naive = df.withColumn(
+        "s",
+        F.sum("v").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in naive_plan  # what we avoided
+
+
+def test_token_budget_shards_properties(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [" ".join(["w"] * (3 + (7 * i) % 23)) for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(5)
+    budget = 64
+    out = (
+        token_budget_shards(docs, budget_tokens=budget, n_buckets=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_tok = pdf.text.str.split().str.len().to_numpy()
+    assert (out.n_tokens.to_numpy() == n_tok).all()
+    expect_shard = (np.cumsum(n_tok) - n_tok) // budget
+    assert (out.shard_id.to_numpy() == expect_shard).all()
+    # contiguous in id order, shards start at 0 with no gaps
+    sid = out.shard_id.to_numpy()
+    assert (np.diff(sid) >= 0).all() and sid[0] == 0
+    assert set(np.diff(sorted(set(sid)))) <= {1}
+    # token mass per shard ~ budget: a shard exceeds it only by its one
+    # straddling document (shards never split a doc)
+    per_shard = out.groupby("shard_id").n_tokens.sum()
+    assert (per_shard.iloc[:-1] + out.n_tokens.max() > budget).all()
+    assert (per_shard < budget + out.n_tokens.max()).all()
+
+
+def test_stratified_sample_semantics(spark):
+    from powershap_spark.operators.dedup import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000, dtype=np.int64),
+            "lang": np.tile(["en", "de", "fr", "zh"], 1000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fr = {"en": 0.5, "de": 0.2}
+    out = stratified_sample(df, "doc_id", "lang", fr, default_fraction=0.05)
+    got = out.toPandas()
+    rates = got.lang.value_counts() / 1000.0
+    assert abs(rates.get("en", 0) - 0.5) < 0.08
+    assert abs(rates.get("de", 0) - 0.2) < 0.06
+    assert rates.get("fr", 0) < 0.12 and rates.get("zh", 0) < 0.12
+
+    # per-stratum equivalence: within a stratum the membership set is
+    # exactly deterministic_sample at that stratum's rate (same seed)
+    en_direct = deterministic_sample(
+        df.filter(F.col("lang") == "en"), "doc_id", 0.5
+    ).toPandas()
+    assert set(got[got.lang == "en"].doc_id) == set(en_direct.doc_id)
+
+    # nested growth: raising ONE stratum's rate keeps every sampled row
+    # and touches no other stratum
+    wider = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.7, "de": 0.2}, default_fraction=0.05
+    ).toPandas()
+    assert set(got.doc_id) <= set(wider.doc_id)
+    assert set(got[got.lang != "en"].doc_id) == set(wider[wider.lang != "en"].doc_id)
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_transition_counts(spark):
+    from powershap_spark.operators.windows import transition_counts
+
+    pdf = pd.DataFrame(
+        {
+            "conv": ["a"] * 4 + ["b"] * 3,
+            "ts": [1, 2, 3, 4, 1, 2, 3],
+            "tool": ["search", "read", "search", "read", "read", "search", "read"],
+        }
+    )
+    out = (
+        transition_counts(spark.createDataFrame(pdf), "conv", ["ts"], "tool")
+        .toPandas()
+        .set_index(["prev_action", "tool"])
+        .n_transitions.to_dict()
+    )
+    # a: search>read, read>search, search>read; b: read>search, search>read
+    assert out == {
+        ("search", "read"): 3,
+        ("read", "search"): 2,
+    }

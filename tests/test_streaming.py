@@ -746,3 +746,76 @@ def test_streaming_pit_join_register_ttl_eviction(spark, tmp_path):
     # the cold-restart claim: a new feature re-seeds the register
     row = got.loc[got.ts == t(104)].iloc[0]
     assert row.fvalue == 7.0 and row.feature_ts == t(103)
+
+
+def test_streaming_incremental_minhash_dedup_parity_and_restart(spark, tmp_path):
+    """Continuous-ingest near-dup dedup: (1) union of per-batch kept dirs
+    equals batch minhash_dedup over everything ingested so far, with the
+    store growing one signature per ingested id; (2) restarting the query
+    with the same checkpoint after new shards arrive processes ONLY the new
+    batches and preserves the parity."""
+    from powershap_spark.operators.dedup import minhash_dedup
+    from powershap_spark.streaming import streaming_incremental_minhash_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    shards = [
+        pd.DataFrame({"doc_id": [0, 1], "text": [base, "totally unrelated words about spark plans"]}),
+        pd.DataFrame({"doc_id": [2, 3], "text": [base + " extra", "other fresh content entirely new"]}),
+        pd.DataFrame({"doc_id": [4], "text": [base.replace("dog", "cat")]}),
+    ]
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src)
+    for b in shards:
+        spark.createDataFrame(b, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    store_dir = str(tmp_path / "sig_store")
+    kept_dir = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt_inc")
+    kw = dict(num_hashes=64, bands=16, threshold=0.5, shingle_n=2)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_incremental_minhash_dedup(stream, store_dir, kept_dir, **kw)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    all_docs = spark.read.schema(schema).parquet(src)
+    expect = set(minhash_dedup(all_docs, **kw).toPandas().doc_id)
+    got = set(spark.read.parquet(kept_dir).toPandas().doc_id)
+    assert got == expect
+    store_ids = spark.read.option("basePath", store_dir).parquet(store_dir)
+    assert sorted(r[0] for r in store_ids.select("doc_id").collect()) == [0, 1, 2, 3, 4]
+
+    # restart continuation: a new shard with a dup of an OLD doc and a
+    # fresh doc; only the new batch runs (prior kept dirs untouched)
+    import glob
+
+    n_kept_dirs = len(glob.glob(f"{kept_dir}/batch=*"))
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6], "text": [base + " ", "yet another brand new doc"]}),
+        schema=schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert len(glob.glob(f"{kept_dir}/batch=*")) == n_kept_dirs + 1
+    all_docs = spark.read.schema(schema).parquet(src)
+    expect = set(minhash_dedup(all_docs, **kw).toPandas().doc_id)
+    got = set(spark.read.parquet(kept_dir).toPandas().doc_id)
+    assert got == expect and 5 not in got and 6 in got
+    store_ids = spark.read.option("basePath", store_dir).parquet(store_dir)
+    assert store_ids.count() == 7 == store_ids.select("doc_id").distinct().count()
