@@ -341,6 +341,33 @@ def q_token_budget_shards_documents(spark, sf_dir):
     return token_budget_shards(d, budget_tokens=4096, n_buckets=8)
 
 
+def q_quota_sample_documents(spark, sf_dir):
+    """Exact-quota sampling: precisely min(30, stratum size) docs per
+    language, selected as the 30 smallest deterministic hash draws
+    (poly family so DuckDB replays the draw). The prefilter_factor path
+    (verified per-stratum pre-cut before the rank window) returns a
+    bit-identical set — asserted in test_sharding.py."""
+    from powershap_spark.operators.dedup import stratified_quota_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_quota_sample(
+        d, "doc_id", "lang", 30, seed=7, hash_family="poly"
+    )
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """Pre-training data-quality gate: row/null counts, mean, range, and
+    EXACT p50/p95 for four lineitem measures — all columns in ONE
+    partial+final aggregate (single scan; the per-column rows come from
+    exploding the one aggregate row)."""
+    from powershap_spark.operators.profile import profile_numeric
+
+    li = _read(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Action-sequence mining: the corpus-wide Markov transition counts
     over consecutive event types within each user's timeline (which action
@@ -1118,8 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "quota_sample_documents": q_quota_sample_documents,
         "token_budget_shards_documents": q_token_budget_shards_documents,
         "event_transitions": q_event_transitions,
+        "profile_lineitem": q_profile_lineitem,
         "token_counts": q_token_counts,
         "pii_scrub_documents": q_pii_scrub_documents,
         "curation_pipeline_documents": q_curation_pipeline_documents,
@@ -1906,6 +1935,54 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE ((105490554 * ph + 358133587) % 1000000007) / 1000000007.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15 ELSE 0.05 END
+        """,
+        "quota_sample_documents": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((105490554 * ph + 358133587) % 1000000007) / 1000000007.0,
+                                doc_id
+                     ) AS rk
+              FROM (
+                SELECT doc_id, lang,
+                       list_reduce(
+                         list_prepend(0::BIGINT,
+                           [unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]),
+                         (acc, x) -> (acc * 31 + x) % 1000000007
+                       ) AS ph
+                FROM documents))
+            WHERE rk <= 30
+        """,
+        "profile_lineitem": """
+            WITH cols(column_pos, "column") AS (
+              VALUES (1, 'l_quantity'), (2, 'l_extendedprice'),
+                     (3, 'l_discount'), (4, 'l_tax')
+            ), agg AS (
+              SELECT COUNT(*) AS n_rows,
+                     [COUNT(l_quantity), COUNT(l_extendedprice),
+                      COUNT(l_discount), COUNT(l_tax)] AS nv,
+                     [ROUND(AVG(l_quantity), 4), ROUND(AVG(l_extendedprice), 4),
+                      ROUND(AVG(l_discount), 4), ROUND(AVG(l_tax), 4)] AS mean,
+                     [ROUND(MIN(l_quantity), 4), ROUND(MIN(l_extendedprice), 4),
+                      ROUND(MIN(l_discount), 4), ROUND(MIN(l_tax), 4)] AS mn,
+                     [ROUND(MAX(l_quantity), 4), ROUND(MAX(l_extendedprice), 4),
+                      ROUND(MAX(l_discount), 4), ROUND(MAX(l_tax), 4)] AS mx,
+                     [ROUND(quantile_cont(l_quantity, 0.5), 4),
+                      ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+                      ROUND(quantile_cont(l_discount, 0.5), 4),
+                      ROUND(quantile_cont(l_tax, 0.5), 4)] AS p50,
+                     [ROUND(quantile_cont(l_quantity, 0.95), 4),
+                      ROUND(quantile_cont(l_extendedprice, 0.95), 4),
+                      ROUND(quantile_cont(l_discount, 0.95), 4),
+                      ROUND(quantile_cont(l_tax, 0.95), 4)] AS p95
+              FROM lineitem
+            )
+            SELECT "column", n_rows, n_rows - nv[column_pos] AS n_null,
+                   mean[column_pos] AS mean, mn[column_pos] AS min,
+                   mx[column_pos] AS max, p50[column_pos] AS p50,
+                   p95[column_pos] AS p95
+            FROM cols, agg
         """,
         "token_budget_shards_documents": """
             SELECT doc_id, n_tokens,

@@ -35,6 +35,7 @@ __all__ = [
     "dedup_by_components",
     "deterministic_sample",
     "stratified_sample",
+    "stratified_quota_sample",
     "build_minhash_signature_store",
     "incremental_minhash_dedup",
     "incremental_minhash_dedup_bucketed",
@@ -875,6 +876,66 @@ def stratified_sample(
     for s, f in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+    prefilter_factor: float | None = None,
+) -> DataFrame:
+    """EXACT-quota sampling: precisely ``min(k, stratum size)`` rows per
+    stratum — the fixed-budget counterpart of ``stratified_sample``'s
+    fixed-rate mixing (eval sets, per-language audit panels, balanced
+    probes). Selection is the k smallest deterministic hash draws per
+    stratum, tie-broken by key: a pure function of the data, identical
+    across reruns/partitionings/cluster sizes, and STABLE under corpus
+    growth — an existing row leaves the sample only if a new row hashes
+    below it (expected churn k·new/total, the minimum any exact-quota rule
+    can achieve).
+
+    Scale: the plain path ranks each stratum with one window (full
+    per-stratum sort — fine to ~10^8 rows/stratum). For huge strata pass
+    ``prefilter_factor`` (e.g. 8.0): per-stratum thresholds
+    ``factor·k/n`` cut the window's input to ~factor·k rows per stratum
+    BEFORE the sort, then the result is VERIFIED (per-stratum counts,
+    #strata scalars) and any stratum the filter starved — vanishingly rare
+    at factor≥4, possible only by hash-collision clustering — is recomputed
+    unfiltered, so the output is bit-identical to the plain path by
+    construction, never approximately so."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    base = df.withColumn("__u", _sample_uniform(key_col, seed, hash_family))
+    w = Window.partitionBy(strata_col).orderBy("__u", key_col)
+
+    def _ranked(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(k))
+            .drop("__rk", "__u")
+        )
+
+    if prefilter_factor is None:
+        return _ranked(base)
+    if prefilter_factor <= 1.0:
+        raise ValueError(f"prefilter_factor must be > 1, got {prefilter_factor}")
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    thr = F.lit(1.0)
+    for s, n in counts.items():
+        t = min(1.0, prefilter_factor * k / max(n, 1))
+        thr = F.when(F.col(strata_col) == F.lit(s), F.lit(t)).otherwise(thr)
+    pre = _ranked(base.filter(F.col("__u") < thr))
+    got = {r[0]: r[1] for r in pre.groupBy(strata_col).count().collect()}
+    short = [s for s, n in counts.items() if got.get(s, 0) < min(int(k), n)]
+    if not short:
+        return pre
+    fixed = _ranked(base.filter(F.col(strata_col).isin(short)))
+    return pre.filter(~F.col(strata_col).isin(short)).unionByName(fixed)
 
 
 def benchmark_contamination(

@@ -160,3 +160,85 @@ def test_transition_counts(spark):
         ("search", "read"): 3,
         ("read", "search"): 2,
     }
+
+
+def test_stratified_quota_sample_exact_and_prefilter_identical(spark):
+    from powershap_spark.operators.dedup import stratified_quota_sample
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(np.arange(900, dtype=np.int64)),
+            # uneven strata: 500 en / 350 de / 50 fr
+            "lang": ["en"] * 500 + ["de"] * 350 + ["fr"] * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    k = 20
+    plain = stratified_quota_sample(df, "doc_id", "lang", k).toPandas()
+    assert plain.lang.value_counts().to_dict() == {"en": k, "de": k, "fr": k}
+
+    # tiny stratum: quota clamps to the stratum size
+    small = stratified_quota_sample(
+        df.filter(F.col("lang") != "en"), "doc_id", "lang", 400
+    ).toPandas()
+    assert small.lang.value_counts().to_dict() == {"de": 350, "fr": 50}
+
+    # the prefilter path must be BIT-identical, generous or starved
+    # (factor 1.05 starves some stratum with high probability, exercising
+    # the verified fallback; either way the contract is exact equality)
+    for factor in (8.0, 1.05):
+        pre = stratified_quota_sample(
+            df, "doc_id", "lang", k, prefilter_factor=factor
+        ).toPandas()
+        assert set(map(tuple, pre[["doc_id", "lang"]].to_numpy())) == set(
+            map(tuple, plain[["doc_id", "lang"]].to_numpy())
+        ), f"factor={factor}"
+
+    # layout-invariant: same set under a different partitioning
+    rep = stratified_quota_sample(df.repartition(13), "doc_id", "lang", k).toPandas()
+    assert set(rep.doc_id) == set(plain.doc_id)
+
+    with pytest.raises(ValueError):
+        stratified_quota_sample(df, "doc_id", "lang", 0)
+    with pytest.raises(ValueError):
+        stratified_quota_sample(df, "doc_id", "lang", 5, prefilter_factor=0.5)
+
+
+def test_profile_numeric_matches_pandas(spark):
+    from powershap_spark.operators.profile import profile_numeric
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, np.nan, 4.0, 100.0],
+            "b": [10, 20, 30, 40, 50],
+        }
+    )
+    out = (
+        profile_numeric(spark.createDataFrame(pdf), ["a", "b"])
+        .toPandas()
+        .set_index("column")
+    )
+    assert list(out.columns) == ["n_rows", "n_null", "mean", "min", "max", "p50", "p95"]
+    a = out.loc["a"]
+    assert a.n_rows == 5 and a.n_null == 1
+    assert a["mean"] == round((1 + 2 + 4 + 100) / 4, 4)
+    assert a["min"] == 1.0 and a["max"] == 100.0
+    assert a.p50 == 3.0  # median of [1,2,4,100]
+    b = out.loc["b"]
+    assert b.n_null == 0 and b["mean"] == 30.0 and b.p50 == 30.0
+    assert b.p95 == round(np.percentile(pdf.b, 95, method="linear"), 4)
+
+    # approx path: same shape, plausible values (GK sketch is exact at
+    # this size with the default accuracy)
+    ap = (
+        profile_numeric(spark.createDataFrame(pdf), ["b"], approx=True)
+        .toPandas()
+        .set_index("column")
+    )
+    assert ap.loc["b"].n_rows == 5 and ap.loc["b"]["max"] == 50.0
+
+    with pytest.raises(ValueError):
+        profile_numeric(spark.createDataFrame(pdf), [])
+    with pytest.raises(ValueError):
+        profile_numeric(spark.createDataFrame(pdf), ["a"], percentiles=(1.5,))
