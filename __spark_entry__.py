@@ -368,6 +368,19 @@ def q_profile_lineitem(spark, sf_dir):
     )
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """LLM sample packing: first-fit-decreasing into <=512-token bins,
+    run independently inside token-budget shards so the sequential FFD
+    never sees more than ~8 bins' worth of docs at once. No SQL oracle —
+    FFD is not SQL-expressible (the driver records the rows-only check);
+    capacity, exactly-once assignment, determinism across partitionings,
+    and packing quality are pytest-asserted in test_sharding.py."""
+    from powershap_spark.operators.sharding import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_sequences(d, 512, shard_budget_factor=8, n_buckets=8)
+
+
 def q_event_transitions(spark, sf_dir):
     """Action-sequence mining: the corpus-wide Markov transition counts
     over consecutive event types within each user's timeline (which action
@@ -1147,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,
         "token_budget_shards_documents": q_token_budget_shards_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "event_transitions": q_event_transitions,
         "profile_lineitem": q_profile_lineitem,
         "token_counts": q_token_counts,

@@ -242,3 +242,49 @@ def test_profile_numeric_matches_pandas(spark):
         profile_numeric(spark.createDataFrame(pdf), [])
     with pytest.raises(ValueError):
         profile_numeric(spark.createDataFrame(pdf), ["a"], percentiles=(1.5,))
+
+
+def test_pack_sequences_ffd(spark):
+    from powershap_spark.operators.sharding import pack_sequences
+
+    rng = np.random.default_rng(5)
+    lens = rng.integers(5, 120, 300)
+    lens[7] = 700  # overflow doc (> max_tokens)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [" ".join(["w"] * int(n)) for n in lens],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(6)
+    cap = 256
+    out = pack_sequences(docs, cap, shard_budget_factor=8, n_buckets=4).toPandas()
+
+    # every doc assigned exactly once
+    assert sorted(out.doc_id) == list(range(300))
+    # capacity respected for non-overflow bins; overflow bins are singletons
+    g = out.groupby(["shard_id", "bin_id"])
+    for (_, _), grp in g:
+        if grp.overflow.any():
+            assert len(grp) == 1
+        else:
+            assert grp.n_tokens.sum() <= cap
+    assert out[out.doc_id == 7].overflow.all()
+    assert not out[out.doc_id != 7].overflow.any()
+
+    # packing quality: within 15% of the fractional lower bound
+    n_bins = g.ngroups
+    lower = int(np.ceil((lens.sum() - 700) / cap)) + 1  # +1 overflow bin
+    assert n_bins <= int(lower * 1.15) + out.shard_id.nunique()
+
+    # bit-identical across partitionings
+    out2 = pack_sequences(
+        docs.repartition(17), cap, shard_budget_factor=8, n_buckets=4
+    ).toPandas()
+    key = ["doc_id", "n_tokens", "shard_id", "bin_id", "overflow"]
+    a = out[key].sort_values("doc_id").reset_index(drop=True)
+    b = out2[key].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
