@@ -132,6 +132,22 @@ def main():
         )
     )
 
+    # round-6 late additions
+    sections.append(
+        (
+            "token-budget shards via two-phase global prefix-sum (window "
+            "partitioned by range bucket — NO Exchange SinglePartition)",
+            plan_of(em.q_token_budget_shards_documents(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "single-scan column profile (one partial+final aggregate for "
+            "all columns, explode of the one agg row)",
+            plan_of(em.q_profile_lineitem(spark, sf)),
+        )
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plans (explain 'formatted') — pushdown / broadcast /"
