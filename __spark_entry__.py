@@ -368,6 +368,28 @@ def q_profile_lineitem(spark, sf_dir):
     )
 
 
+def q_entity_split_events(spark, sf_dir):
+    """Entity-disjoint 80/10/10 split keyed on user_id (poly family so
+    DuckDB replays the draw): every row of a user lands in one split —
+    zero cross-split leakage for grouped data. Output is the per-split
+    audit (row + entity counts); entity-disjointness itself is structural
+    (the split is a pure function of user_id) and pytest-asserted."""
+    from powershap_spark.operators.dedup import entity_split
+
+    e = _read(spark, sf_dir, "events")
+    return (
+        entity_split(
+            e, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7, hash_family="poly",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_entities"),
+        )
+    )
+
+
 def q_pack_sequences_documents(spark, sf_dir):
     """LLM sample packing: first-fit-decreasing into <=512-token bins,
     run independently inside token-budget shards so the sequential FFD
@@ -1162,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_shards_documents": q_token_budget_shards_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "event_transitions": q_event_transitions,
+        "entity_split_events": q_entity_split_events,
         "profile_lineitem": q_profile_lineitem,
         "token_counts": q_token_counts,
         "pii_scrub_documents": q_pii_scrub_documents,
@@ -2009,6 +2032,24 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
               FROM documents)
+        """,
+        "entity_split_events": """
+            SELECT split, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_entities
+            FROM (
+              SELECT user_id,
+                     CASE WHEN u < 0.8 THEN 'train'
+                          WHEN u < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT user_id,
+                       ((105490554 * list_reduce(
+                           list_prepend(0::BIGINT,
+                             [unicode(c) FOR c IN regexp_extract_all(CAST(user_id AS VARCHAR), '.')]),
+                           (acc, x) -> (acc * 31 + x) % 1000000007
+                         ) + 358133587) % 1000000007) / 1000000007.0 AS u
+                FROM events))
+            GROUP BY split
         """,
         "event_transitions": """
             SELECT prev_type, event_type, COUNT(*) AS n_transitions FROM (

@@ -36,6 +36,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "stratified_quota_sample",
+    "entity_split",
     "build_minhash_signature_store",
     "incremental_minhash_dedup",
     "incremental_minhash_dedup_bucketed",
@@ -876,6 +877,50 @@ def stratified_sample(
     for s, f in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def entity_split(
+    df: DataFrame,
+    entity_col: str,
+    weights: dict,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+    out_col: str = "split",
+) -> DataFrame:
+    """Entity-disjoint train/val/test assignment: every row of an entity
+    (conversation, user, document cluster) lands in the SAME split, so
+    grouped rows can never leak across the split boundary — the corpus-
+    scale counterpart of sklearn's GroupShuffleSplit (splitters.py carries
+    the sklearn-exact CV cascade for matrix-sized data; this one is a pure
+    column expression for 10^12-row tables: no shuffle, no state, pushes
+    like any projection).
+
+    ``weights`` maps split name -> probability mass (must sum to 1 within
+    1e-9); assignment is the deterministic hash draw of
+    ``deterministic_sample`` cut at the cumulative weights, so it is
+    layout-invariant, rerun-identical, and STABLE under corpus growth (an
+    entity's split never changes when other entities appear). Iteration
+    order of ``weights`` defines the cut order — pass the same dict order
+    to reproduce an assignment."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(float(w) for w in weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    for s, w in weights.items():
+        if float(w) <= 0.0:
+            raise ValueError(f"weight for split {s!r} must be positive, got {w}")
+    u = _sample_uniform(entity_col, seed, hash_family)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split takes the residual mass
+    cum = 0.0
+    branches = []
+    for s in names[:-1]:
+        cum += float(weights[s])
+        branches.append((cum, s))
+    for cut, s in reversed(branches):
+        expr = F.when(u < F.lit(cut), F.lit(s)).otherwise(expr)
+    return df.withColumn(out_col, expr)
 
 
 def stratified_quota_sample(

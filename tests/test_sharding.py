@@ -288,3 +288,41 @@ def test_pack_sequences_ffd(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_entity_split_disjoint_deterministic(spark):
+    from powershap_spark.operators.dedup import entity_split
+
+    pdf = pd.DataFrame(
+        {
+            "conv": np.repeat([f"c{i}" for i in range(500)], 4),
+            "x": np.arange(2000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = entity_split(df, "conv", w).toPandas()
+    # entity-disjoint: one split per conversation
+    assert (out.groupby("conv").split.nunique() == 1).all()
+    # rough proportions over 500 entities
+    ent = out.drop_duplicates("conv").split.value_counts() / 500.0
+    assert abs(ent["train"] - 0.8) < 0.07
+    assert abs(ent.get("val", 0) - 0.1) < 0.05
+    assert abs(ent.get("test", 0) - 0.1) < 0.05
+    # layout-invariant + stable under corpus growth: assignments of the
+    # original entities are unchanged when new entities appear
+    grown = spark.createDataFrame(
+        pd.concat(
+            [pdf, pd.DataFrame({"conv": [f"n{i}" for i in range(100)], "x": 0})]
+        )
+    )
+    g = entity_split(grown.repartition(9), "conv", w).toPandas()
+    merged = out.drop_duplicates("conv").merge(
+        g.drop_duplicates("conv"), on="conv", suffixes=("_a", "_b")
+    )
+    assert (merged.split_a == merged.split_b).all()
+
+    with pytest.raises(ValueError):
+        entity_split(df, "conv", {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        entity_split(df, "conv", {})
