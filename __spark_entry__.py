@@ -699,6 +699,26 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     return kept.select("doc_id", "lang", "source")
 
 
+def q_corpus_diff_documents(spark, sf_dir):
+    """Snapshot-versioning diff: synthesize an 'old' and a 'new' corpus
+    view from the documents table (ids %7==1 appear only in new -> added,
+    %7==2 only in old -> removed, %7==3 get edited text -> changed) and
+    emit the content-level change set. The operator compares xxhash64
+    digests so the shuffle carries 16 B/row; the oracle compares the text
+    itself — agreement IS the content-hash contract."""
+    from powershap_spark.operators.dedup import corpus_diff
+
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 1)
+    new = d.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def q_simhash_documents(spark, sf_dir):
     from powershap_spark.operators.dedup import simhash
 
@@ -1202,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk_embeddings": q_quantized_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "corpus_diff_documents": q_corpus_diff_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "lsh_topk_banded_embeddings": q_lsh_topk_banded_embeddings,
@@ -2050,6 +2071,21 @@ def oracle_sql() -> dict[str, str]:
                          ) + 358133587) % 1000000007) / 1000000007.0 AS u
                 FROM events))
             GROUP BY split
+        """,
+        "corpus_diff_documents": """
+            SELECT doc_id, status FROM (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text <> n.text THEN 'changed' END AS status
+              FROM (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 1) o
+              FULL OUTER JOIN (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 2) n
+              ON o.doc_id = n.doc_id)
+            WHERE status IS NOT NULL
         """,
         "event_transitions": """
             SELECT prev_type, event_type, COUNT(*) AS n_transitions FROM (

@@ -37,6 +37,7 @@ __all__ = [
     "stratified_sample",
     "stratified_quota_sample",
     "entity_split",
+    "corpus_diff",
     "build_minhash_signature_store",
     "incremental_minhash_dedup",
     "incremental_minhash_dedup_bucketed",
@@ -877,6 +878,39 @@ def stratified_sample(
     for s, f in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus versions — the ingest-ops
+    primitive behind "what changed since the last snapshot": returns
+    ``(id, status)`` with status ``added`` (id only in new), ``removed``
+    (only in old), or ``changed`` (both, different content). Unchanged
+    rows are NOT emitted — at 10^12 docs the unchanged bulk dominates and
+    materializing it is pure waste; the caller left-antis against the
+    diff when it needs the unchanged set.
+
+    Scale shape: each side is projected to ``(id, xxhash64(text))`` BEFORE
+    the full-outer join, so the shuffle carries 16 bytes/row instead of
+    document text; 'changed' means differing 64-bit content hashes
+    (collision odds 2^-64 per pair — the standard content-hash contract,
+    same as the exact-dedup operator's)."""
+    o = old.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h_old"))
+    n = new.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h_new"))
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
 
 
 def entity_split(

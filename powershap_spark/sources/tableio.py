@@ -175,3 +175,47 @@ def read_skew_bounded(spark: SparkSession, table: str, path: str):
     hot = spark.read.parquet(path + "_hot")
     hot_keys = [r[0] for r in spark.read.parquet(path + "_hotkeys").collect()]
     return cold, hot, hot_keys
+
+
+def write_training_shards(
+    docs: DataFrame,
+    assignment: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+):
+    """Materialize a curated corpus as training shards: join the documents
+    to a shard ``assignment`` (``token_budget_shards`` or
+    ``pack_sequences`` output) and write ``path/shard_id=N/...`` via
+    dynamic partitioning, one directory per shard, so the trainer's data
+    loader maps shard -> file set with no index service. Returns the
+    MANIFEST DataFrame (shard_id, n_docs, n_tokens[, n_bins]) and writes
+    it to ``path/_manifest`` — the artifact that makes shard sets
+    diffable/resumable (re-running on the same corpus reproduces the
+    row-identical manifest because the assignment is deterministic).
+
+    Scale shape: one broadcast-or-shuffle join on the id, one
+    ``repartition(shard_id)`` so each shard's rows land in the task that
+    writes its directory (otherwise every task appends a file into every
+    shard directory — file-count explosion at 10^5+ shards), and the
+    manifest is a partial+final aggregate of the same joined frame.
+    ``max_records_per_file`` caps file size inside a shard for
+    loader-side parallelism."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in assignment.columns if c != id_col]
+    joined = docs.join(assignment, id_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ]
+    if "bin_id" in cols:
+        aggs.append(F.countDistinct("bin_id").alias("n_bins"))
+    manifest = joined.groupBy("shard_id").agg(*aggs).orderBy("shard_id")
+
+    w = joined.repartition(F.col("shard_id")).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard_id").parquet(path)
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

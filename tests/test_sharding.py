@@ -326,3 +326,55 @@ def test_entity_split_disjoint_deterministic(spark):
         entity_split(df, "conv", {"train": 0.5, "val": 0.4})
     with pytest.raises(ValueError):
         entity_split(df, "conv", {})
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    from powershap_spark.operators.sharding import pack_sequences, token_budget_shards
+    from powershap_spark.sources.tableio import write_training_shards
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "text": ["w " * (5 + (i * 7) % 40) for i in range(60)],
+        }
+    )
+    docs = spark.createDataFrame(pdf).repartition(5)
+    assign = token_budget_shards(docs, budget_tokens=200)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, assign, path).toPandas()
+
+    # one directory per shard, hive-partitioned
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard_id="))
+    assert dirs == [f"shard_id={s}" for s in sorted(manifest.shard_id)]
+
+    # reading the dataset back reconstitutes every row with its shard
+    back = spark.read.parquet(path).toPandas()
+    assert len(back) == 60
+    expect = assign.toPandas().set_index("doc_id").sort_index()
+    got = back.set_index("doc_id").sort_index()
+    assert (got.shard_id.astype(int) == expect.shard_id.astype(int)).all()
+
+    # manifest aggregates match a direct recount, and totals tie out
+    direct = assign.toPandas().groupby("shard_id").agg(
+        n_docs=("doc_id", "count"), n_tokens=("n_tokens", "sum"))
+    m = manifest.set_index("shard_id").sort_index()
+    assert (m.n_docs == direct.n_docs).all()
+    assert (m.n_tokens == direct.n_tokens).all()
+    assert m.n_docs.sum() == 60
+    # persisted manifest == returned manifest
+    stored = spark.read.parquet(path + "/_manifest").toPandas()
+    assert sorted(stored.shard_id) == sorted(manifest.shard_id)
+
+    # packing assignment adds the n_bins column
+    packed = pack_sequences(docs, max_tokens=64, shard_budget_factor=8)
+    m2 = write_training_shards(
+        docs, packed, str(tmp_path / "packed"), max_records_per_file=16
+    ).toPandas()
+    assert "n_bins" in m2.columns
+    assert (m2.n_bins >= 1).all()
+
+    # deterministic: re-running yields a row-identical manifest
+    m3 = write_training_shards(docs, assign, str(tmp_path / "again")).toPandas()
+    assert m3.sort_values("shard_id").reset_index(drop=True).equals(
+        manifest.sort_values("shard_id").reset_index(drop=True))

@@ -920,3 +920,39 @@ def test_bucketed_banded_store_parity_append_and_plan(spark, docs, tmp_path):
     finally:
         for t in (f"{prefix}_bands", f"{prefix}_sigs"):
             spark.sql(f"drop table if exists {t}")
+
+
+def test_corpus_diff_statuses(spark):
+    from powershap_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["same one", "will change", "gets removed", "same two"],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 4, 5],
+                "text": ["same one", "now different", "same two", "brand new"],
+            }
+        )
+    )
+    out = corpus_diff(old, new).toPandas().set_index("doc_id")
+    assert out.loc[5, "status"] == "added"
+    assert out.loc[3, "status"] == "removed"
+    assert out.loc[2, "status"] == "changed"
+    # unchanged rows are not emitted
+    assert 1 not in out.index and 4 not in out.index
+    assert len(out) == 3
+
+    # layout-invariant: same answer under different partitionings
+    out2 = (
+        corpus_diff(old.repartition(7), new.repartition(3))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.sort_index().equals(out.sort_index())
