@@ -699,6 +699,20 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     return kept.select("doc_id", "lang", "source")
 
 
+def q_dedup_lines_documents(spark, sf_dir):
+    """C4/RefinedWeb-style line-level scrub. The testdata documents are
+    single-line, so the query exercises the operator at sep=' ' — scrub
+    corpus-frequent units (>= 50 occurrences) of length >= 6 chars, keep
+    everything shorter. Same operator, same two-shuffle plan; pytest
+    covers the newline case."""
+    from powershap_spark.operators.text import dedup_lines
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup_lines(
+        d, min_count=50, min_chars=6, sep=" "
+    )
+
+
 def q_corpus_diff_documents(spark, sf_dir):
     """Snapshot-versioning diff: synthesize an 'old' and a 'new' corpus
     view from the documents table (ids %7==1 appear only in new -> added,
@@ -1223,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "corpus_diff_documents": q_corpus_diff_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "lsh_topk_banded_embeddings": q_lsh_topk_banded_embeddings,
@@ -2071,6 +2086,22 @@ def oracle_sql() -> dict[str, str]:
                          ) + 358133587) % 1000000007) / 1000000007.0 AS u
                 FROM events))
             GROUP BY split
+        """,
+        "dedup_lines_documents": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS line,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS idx
+              FROM documents),
+            cnt AS (SELECT line, COUNT(*) AS c FROM ex GROUP BY line)
+            SELECT e.doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN NOT (c.c >= 50 AND length(e.line) >= 6)
+                          THEN e.line END, ' ' ORDER BY e.idx), '') AS text,
+                   SUM(CASE WHEN c.c >= 50 AND length(e.line) >= 6
+                            THEN 1 ELSE 0 END) AS n_removed
+            FROM ex e JOIN cnt c USING (line)
+            GROUP BY e.doc_id
         """,
         "corpus_diff_documents": """
             SELECT doc_id, status FROM (

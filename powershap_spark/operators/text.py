@@ -20,6 +20,7 @@ __all__ = [
     "repetition_ratios",
     "chunk_tokens",
     "topk_ngrams",
+    "dedup_lines",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -216,4 +217,59 @@ def topk_ngrams(
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(int(k))
+    )
+
+
+def dedup_lines(
+    docs,
+    min_count: int,
+    min_chars: int = 1,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Line-level exact dedup — the C4/RefinedWeb boilerplate scrub that
+    document-level dedup cannot express: split every document on ``sep``,
+    count each line's occurrences CORPUS-WIDE (every occurrence counts,
+    including repeats within one document), and remove from all documents
+    any line seen >= ``min_count`` times whose length >= ``min_chars``
+    (the length floor protects blank/short lines from being scrubbed).
+    Returns ``(id_col, text_col, n_removed)`` with the surviving lines
+    rejoined in original order; a document whose every line is removed is
+    KEPT with empty text (downstream length filters decide its fate).
+
+    Scale shape: exactly two shuffles of the exploded lines — one hash
+    partition on ``xxhash64(line)`` (8-byte key; the frequency is a window
+    count so the line rows never join back against a counts table) and
+    one groupBy on the doc id to reassemble. The line text itself is
+    never a shuffle KEY, only payload; distinct-line collisions under
+    xxhash64 are the standard 2^-64 content-hash contract shared with
+    exact_dedup/corpus_diff."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "__idx", "__line"
+        ),
+    )
+    counted = lines.withColumn("__h", F.xxhash64("__line")).withColumn(
+        "__c", F.count("*").over(Window.partitionBy("__h"))
+    )
+    is_dup = (F.col("__c") >= int(min_count)) & (
+        F.length("__line") >= int(min_chars)
+    )
+    kept_struct = F.when(~is_dup, F.struct("__idx", "__line"))
+    return counted.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__line"]
+            ),
+            sep,
+        ).alias(text_col),
+        F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_removed"),
     )

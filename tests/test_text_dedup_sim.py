@@ -956,3 +956,51 @@ def test_corpus_diff_statuses(spark):
         .set_index("doc_id")
     )
     assert out2.sort_index().equals(out.sort_index())
+
+
+def test_dedup_lines_semantics(spark):
+    from powershap_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "unique alpha\nsubscribe now\nok",
+                    "subscribe now\nunique beta\nok",
+                    "subscribe now\nsubscribe now",  # within-doc repeats count
+                    "unique gamma\nok",
+                ],
+            }
+        )
+    )
+    # 'subscribe now' occurs 4x corpus-wide (>=3) -> scrubbed everywhere;
+    # 'ok' occurs 3x but is under the 5-char floor -> protected
+    out = (
+        dedup_lines(docs, min_count=3, min_chars=5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text"] == "unique alpha\nok"
+    assert out.loc[2, "text"] == "unique beta\nok"
+    # every line removed -> doc kept with empty text
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed"] == 2
+    assert out.loc[4, "text"] == "unique gamma\nok"
+    assert list(out.n_removed) == [1, 1, 2, 0]
+
+    # layout invariance
+    out2 = (
+        dedup_lines(docs.repartition(7), min_count=3, min_chars=5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out2.equals(out)
+
+    # min_count=1 with no floor scrubs everything
+    allgone = dedup_lines(docs, min_count=1).toPandas()
+    assert (allgone.text == "").all()
+
+    with pytest.raises(ValueError):
+        dedup_lines(docs, min_count=0)
