@@ -3,6 +3,7 @@ column pruning trims ReadSchema, a multi-feature window block costs exactly
 one exchange, and the small dimension side of an equi-join broadcasts."""
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import numpy as np
@@ -235,3 +236,51 @@ def test_turn_features_single_sort_for_whole_window_block(spark):
     plan = _plan(turn_features(t, skew_safe=False))
     assert len(re.findall(r"\+\- Sort \(", plan)) == 1, plan
     assert len(re.findall(r"\+\- Exchange \(", plan)) == 1, plan
+
+
+def _exchange_keys(plan: str) -> list[str]:
+    """From explain('formatted') output, return each Exchange node's
+    hashpartitioning argument string (the shuffle keys)."""
+    return re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+
+
+def test_dedup_lines_two_exchanges_hash_keyed(spark):
+    """Line dedup is exactly two shuffles of the exploded lines: one on
+    the 8-byte xxhash64(line) for the frequency window (never on the line
+    STRING), one on the doc id to reassemble — and no join back against a
+    counts table (the frequency is a window count)."""
+    from powershap_spark.operators.text import dedup_lines
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(dedup_lines(d, min_count=3, min_chars=5))
+    keys = _exchange_keys(p)
+    assert len(keys) == 2, p
+    assert any("__h" in k for k in keys)
+    assert any("doc_id" in k for k in keys)
+    # the window shuffle keys on the hash, not the line text
+    assert not any("__line" in k for k in keys)
+    assert "Join" not in p
+    # reassembly has a map-side partial before its exchange
+    assert "partial_collect_list" in p
+
+
+def test_corpus_diff_shuffle_carries_hashes_not_text(spark):
+    """Both corpus versions are projected to (id, xxhash64(text)) BEFORE
+    the full-outer join: the join exchanges move 16 bytes/row, and the
+    text column never reaches a shuffle (checked on each Exchange node's
+    Input attribute list in the formatted plan)."""
+    from powershap_spark.operators.dedup import corpus_diff
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 7 != 1)
+    new = d.filter(F.col("doc_id") % 7 != 2)
+    p = _plan(corpus_diff(old, new))
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "xxhash64" in p
+    # walk the numbered node sections; every Exchange's Input [..] list
+    # must be text-free (the hash projection sits below the shuffle)
+    sections = re.split(r"\n\n", p)
+    exchange_sections = [s for s in sections if re.match(r"\(\d+\) Exchange", s)]
+    assert exchange_sections, p
+    for s in exchange_sections:
+        assert "text#" not in s, s
