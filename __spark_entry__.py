@@ -713,6 +713,19 @@ def q_dedup_lines_documents(spark, sf_dir):
     )
 
 
+def q_dedup_spans_documents(spark, sf_dir):
+    """Exact substring dedup (Lee et al., arXiv:2107.06499) at token
+    granularity: scrub every token covered by a 5-gram whose exact token
+    sequence occurs >= 2 times corpus-wide. The operator counts xxhash64
+    gram digests (8-byte shuffle key; text never shuffles — dup starts
+    broadcast back); the oracle counts the gram strings themselves, so
+    the value-green row evidences the content-hash contract."""
+    from powershap_spark.operators.text import dedup_ngram_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup_ngram_spans(d, k=5, min_count=2)
+
+
 def q_corpus_diff_documents(spark, sf_dir):
     """Snapshot-versioning diff: synthesize an 'old' and a 'new' corpus
     view from the documents table (ids %7==1 appear only in new -> added,
@@ -1238,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "corpus_diff_documents": q_corpus_diff_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "dedup_spans_documents": q_dedup_spans_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "lsh_topk_banded_embeddings": q_lsh_topk_banded_embeddings,
@@ -2102,6 +2116,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS n_removed
             FROM ex e JOIN cnt c USING (line)
             GROUP BY e.doc_id
+        """,
+        "dedup_spans_documents": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+            g AS (
+              SELECT doc_id, pos AS s,
+                     array_to_string(list(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), ' ') AS gram,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n
+              FROM ex),
+            v AS (SELECT doc_id, s, gram FROM g WHERE s <= n - 4),
+            c AS (SELECT gram, COUNT(*) AS c FROM v GROUP BY gram),
+            dup AS (SELECT doc_id, s FROM v JOIN c USING (gram) WHERE c.c >= 2),
+            cov AS (
+              SELECT e.doc_id, e.pos, e.tok,
+                     MAX(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS covd
+              FROM ex e LEFT JOIN dup d
+                ON d.doc_id = e.doc_id AND d.s <= e.pos AND e.pos <= d.s + 4
+              GROUP BY e.doc_id, e.pos, e.tok)
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN covd = 0 THEN tok END, ' ' ORDER BY pos), '') AS text,
+                   SUM(covd)::BIGINT AS n_removed
+            FROM cov GROUP BY doc_id
         """,
         "corpus_diff_documents": """
             SELECT doc_id, status FROM (

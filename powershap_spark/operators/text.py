@@ -21,6 +21,7 @@ __all__ = [
     "chunk_tokens",
     "topk_ngrams",
     "dedup_lines",
+    "dedup_ngram_spans",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -272,4 +273,88 @@ def dedup_lines(
             sep,
         ).alias(text_col),
         F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_removed"),
+    )
+
+
+def dedup_ngram_spans(
+    docs,
+    k: int,
+    min_count: int,
+    sep: str = " ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact substring dedup — the span-level scrub of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), at token granularity: every k-token window whose
+    exact token sequence occurs >= ``min_count`` times CORPUS-WIDE (all
+    occurrences count, including repeats within one document) is a
+    duplicated span; every token covered by at least one duplicated span
+    is removed, and the survivors are rejoined in original order.
+    Returns ``(id_col, text_col, n_removed)``; a document scrubbed to
+    nothing is KEPT with empty text, and a document with fewer than k
+    tokens is passed through untouched (no window exists).
+
+    Scale shape — deliberately different from ``dedup_lines``: gram
+    hashing is a PURE PROJECTION (k-gram xxhash64 per start position,
+    computed doc-locally from the token array — O(n*k) chars hashed per
+    doc, k is small), so the exploded relation carries only
+    ``(id, start, hash)`` = ~20 B/row into shuffle 1 (frequency window
+    over the 8-byte hash). Duplicated starts collapse per doc in
+    shuffle 2 (groupBy id, payload = small int arrays), and that
+    dup-starts table — a compressed representation orders of magnitude
+    smaller than the corpus — joins back to the original docs, where AQE
+    promotes it to broadcast whenever it fits (the common case), leaving
+    the document text out of EVERY shuffle; worst case it is one
+    sort-merge join. Token filtering is then a pure array expression
+    (coverage test per position against the sorted starts). Distinct-gram
+    collisions under xxhash64 are the standard 2^-64 content-hash
+    contract shared with exact_dedup/corpus_diff; the DuckDB oracle
+    counts the gram STRINGS, so the value-green row is the contract's
+    evidence."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    pat = _re.escape(sep)
+    toks = F.split(F.col(text_col), pat, -1)
+    # start positions are 0-based; sequence() descends when stop < start,
+    # so short docs must short-circuit to an empty gram array
+    gram_hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), sep)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    grams = docs.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("__s", "__h")
+    )
+    counted = grams.withColumn(
+        "__c", F.count("*").over(Window.partitionBy("__h"))
+    )
+    dup_starts = (
+        counted.filter(F.col("__c") >= int(min_count))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__s")).alias("__starts"))
+    )
+
+    out = docs.join(dup_starts, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda t, p: ~F.exists(
+            starts, lambda s: (s <= p) & (p <= s + F.lit(k - 1))
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -264,6 +264,32 @@ def test_dedup_lines_two_exchanges_hash_keyed(spark):
     assert "partial_collect_list" in p
 
 
+def test_dedup_ngram_spans_text_never_shuffles(spark):
+    """Span dedup shuffles only the exploded (id, start, hash) relation:
+    one Exchange on the 8-byte gram hash for the frequency window, one on
+    the doc id to collapse dup starts (map-side partial_collect_list),
+    and the dup-starts table joins BACK to the docs — text appears in
+    scans and the gram projection only, never in any Exchange."""
+    from powershap_spark.operators.text import dedup_ngram_spans
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(dedup_ngram_spans(d, k=5, min_count=2))
+    keys = _exchange_keys(p)
+    assert len(keys) == 2, p
+    assert any("__h" in k for k in keys)
+    assert any("doc_id" in k for k in keys)
+    # frequency is a window count over the hash, not a counts-table join
+    assert "Window" in p and "partial_collect_list" in p
+    # every shuffle (hash Exchange or BroadcastExchange) is text-free
+    sections = re.split(r"\n\n", p)
+    exchange_sections = [
+        s for s in sections if re.match(r"\(\d+\) (Broadcast)?Exchange", s)
+    ]
+    assert exchange_sections, p
+    for s in exchange_sections:
+        assert "text#" not in s, s
+
+
 def test_corpus_diff_shuffle_carries_hashes_not_text(spark):
     """Both corpus versions are projected to (id, xxhash64(text)) BEFORE
     the full-outer join: the join exchanges move 16 bytes/row, and the

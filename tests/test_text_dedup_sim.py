@@ -1004,3 +1004,78 @@ def test_dedup_lines_semantics(spark):
 
     with pytest.raises(ValueError):
         dedup_lines(docs, min_count=0)
+
+
+def test_dedup_ngram_spans_semantics(spark):
+    from powershap_spark.operators.text import dedup_ngram_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    # the 3-gram 'click here now' repeats corpus-wide;
+                    # flanks differ so no OTHER gram is shared
+                    "intro a click here now outro one",
+                    "prelude b click here now end two",
+                    # within-doc repeat: both occurrences count and both
+                    # spans are scrubbed (overlap union, not per-gram)
+                    "click here now click here now tail",
+                    # fewer than k tokens: passes through untouched
+                    "too short",
+                    # no duplicated gram at all
+                    "entirely fresh words with no repeats anywhere",
+                ],
+            }
+        )
+    )
+    out = (
+        dedup_ngram_spans(docs, k=3, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text"] == "intro a outro one"
+    assert out.loc[2, "text"] == "prelude b end two"
+    assert out.loc[3, "text"] == "tail" and out.loc[3, "n_removed"] == 6
+    assert out.loc[4, "text"] == "too short" and out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "n_removed"] == 0
+    assert list(out.n_removed) == [3, 3, 6, 0, 0]
+
+    # overlapping duplicated grams union their coverage: 'x y z w' where
+    # both 'x y z' and 'y z w' are duplicated removes all 4 tokens, not 6
+    docs2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a x y z w b", "p x y z q", "r y z w s"],
+            }
+        )
+    )
+    out2 = (
+        dedup_ngram_spans(docs2, k=3, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out2.loc[1, "text"] == "a b" and out2.loc[1, "n_removed"] == 4
+
+    # layout invariance
+    out3 = (
+        dedup_ngram_spans(docs.repartition(7), k=3, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out3.equals(out)
+
+    # a doc scrubbed to nothing stays, with empty text
+    allgone = (
+        dedup_ngram_spans(docs2, k=1, min_count=1).toPandas().set_index("doc_id")
+    )
+    assert len(allgone) == 3 and (allgone.text == "").all()
+
+    with pytest.raises(ValueError):
+        dedup_ngram_spans(docs, k=0, min_count=2)
+    with pytest.raises(ValueError):
+        dedup_ngram_spans(docs, k=3, min_count=0)
