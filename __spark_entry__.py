@@ -726,6 +726,34 @@ def q_dedup_spans_documents(spark, sf_dir):
     return dedup_ngram_spans(d, k=5, min_count=2)
 
 
+def q_upsample_mixture_documents(spark, sf_dir):
+    """LLaMA-style fractional-epoch mixture weighting: de x2.4, en x0.7,
+    everything else x1.3 — floor(w) guaranteed copies plus a
+    deterministic-Bernoulli top-up on frac(w), numbered copy_idx. Poly
+    hash family so DuckDB reproduces the exact per-row copy count from
+    the same affine literals."""
+    from powershap_spark.operators.dedup import upsample_mixture
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return upsample_mixture(
+        d, "doc_id", "lang", {"en": 0.7, "de": 2.4},
+        default_weight=1.3, seed=7, hash_family="poly",
+    )
+
+
+def q_lm_perplexity_documents(spark, sf_dir):
+    """CCNet-style perplexity filter (Wenzek et al., arXiv:1911.00359),
+    self-trained: add-0.5-smoothed bigram LM fit on the corpus in the
+    same job that scores it. Corpus counts are window counts over
+    xxhash64 of the context/bigram (8-byte shuffle keys; token strings
+    never shuffle); the oracle recounts over the token STRINGS, so the
+    value-green row evidences the content-hash contract."""
+    from powershap_spark.operators.text import lm_perplexity
+
+    d = _read(spark, sf_dir, "documents")
+    return lm_perplexity(d, add_k=0.5)
+
+
 def q_corpus_diff_documents(spark, sf_dir):
     """Snapshot-versioning diff: synthesize an 'old' and a 'new' corpus
     view from the documents table (ids %7==1 appear only in new -> added,
@@ -1252,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_documents": q_corpus_diff_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
         "dedup_spans_documents": q_dedup_spans_documents,
+        "lm_perplexity_documents": q_lm_perplexity_documents,
+        "upsample_mixture_documents": q_upsample_mixture_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "lsh_topk_banded_embeddings": q_lsh_topk_banded_embeddings,
@@ -2144,6 +2174,49 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN covd = 0 THEN tok END, ' ' ORDER BY pos), '') AS text,
                    SUM(covd)::BIGINT AS n_removed
             FROM cov GROUP BY doc_id
+        """,
+        "upsample_mixture_documents": """
+            SELECT doc_id, lang,
+                   unnest(generate_series(1, n))::INT AS copy_idx
+            FROM (
+              SELECT doc_id, lang,
+                     CAST(FLOOR(w) AS BIGINT)
+                       + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS n
+              FROM (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 0.7 WHEN 'de' THEN 2.4
+                                 ELSE 1.3 END AS w,
+                       ((105490554 * list_reduce(
+                           list_prepend(0::BIGINT,
+                             [unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]),
+                           (acc, x) -> (acc * 31 + x) % 1000000007
+                         ) + 358133587) % 1000000007) / 1000000007.0 AS u
+                FROM documents))
+        """,
+        "lm_perplexity_documents": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents),
+            v AS (SELECT COUNT(DISTINCT tok) AS vv FROM ex),
+            bg AS (
+              SELECT doc_id, tok AS c,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w
+              FROM ex),
+            bgf AS (SELECT doc_id, c, w FROM bg WHERE w IS NOT NULL),
+            c2 AS (SELECT c, w, COUNT(*) AS n2 FROM bgf GROUP BY c, w),
+            c1 AS (SELECT c, COUNT(*) AS n1 FROM bgf GROUP BY c),
+            s AS (
+              SELECT b.doc_id,
+                     ln((n2 + 0.5) / (n1 + 0.5 * vv)) AS lp
+              FROM bgf b JOIN c2 USING (c, w) JOIN c1 USING (c) CROSS JOIN v)
+            SELECT d.doc_id,
+                   COUNT(lp)::BIGINT AS n_scored,
+                   -AVG(lp) AS nll,
+                   ROUND(EXP(-AVG(lp)), 4) AS ppl
+            FROM documents d LEFT JOIN s USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "corpus_diff_documents": """
             SELECT doc_id, status FROM (

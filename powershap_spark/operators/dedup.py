@@ -35,6 +35,7 @@ __all__ = [
     "dedup_by_components",
     "deterministic_sample",
     "stratified_sample",
+    "upsample_mixture",
     "stratified_quota_sample",
     "entity_split",
     "corpus_diff",
@@ -878,6 +879,56 @@ def stratified_sample(
     for s, f in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def upsample_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict,
+    default_weight: float = 1.0,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional-epoch mixture weighting — the OTHER half
+    of corpus mixing: where ``stratified_sample`` only thins strata
+    (weights <= 1), training mixes also UPSAMPLE scarce domains by
+    non-integer epoch counts (e.g. Wikipedia x2.4, books x1.5, web x0.7 —
+    the LLaMA-style data recipe). A row with weight ``w`` is emitted
+    ``floor(w)`` times plus one more iff its deterministic uniform draw
+    falls below ``frac(w)``, so E[copies] == w EXACTLY per row and the
+    realized count is a pure function of (key, seed, the row's own
+    stratum weight): reruns, repartitionings, and resumes emit identical
+    copies, and corpus growth never changes an existing row's count.
+    Emitted copies are numbered ``copy_col`` = 1..n so downstream shuffles
+    /dedup can tell them apart (and so a loader can epoch-interleave).
+    Weight 0 drops the stratum; weights < 1 downsample (floor = 0).
+
+    Scale shape: a pure projection + ``explode(sequence(1, n))`` — no
+    shuffle, no state, no join; the Bernoulli top-up reuses
+    ``deterministic_sample``'s uniform draw, so the same hash-family
+    contract applies (``poly`` = DuckDB-replicable, ``xxhash`` = scale
+    path). Output size is sum(w_s * n_s) rows — the operator never
+    materializes more than the emitted mix."""
+    for s, w in weights.items():
+        if float(w) < 0.0:
+            raise ValueError(f"weight for stratum {s!r} must be >= 0, got {w}")
+    if default_weight < 0.0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    if copy_col in df.columns:
+        raise ValueError(f"copy_col {copy_col!r} collides with an input column")
+
+    w = F.lit(float(default_weight))
+    for s, v in weights.items():
+        w = F.when(F.col(strata_col) == F.lit(s), F.lit(float(v))).otherwise(w)
+    u = _sample_uniform(key_col, seed, hash_family)
+    base = F.floor(w).cast("int")
+    n = base + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))
 
 
 def corpus_diff(

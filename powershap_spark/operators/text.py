@@ -22,6 +22,7 @@ __all__ = [
     "topk_ngrams",
     "dedup_lines",
     "dedup_ngram_spans",
+    "lm_perplexity",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -357,4 +358,93 @@ def dedup_ngram_spans(
         F.col(id_col),
         F.array_join(kept, sep).alias(text_col),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def lm_perplexity(
+    docs,
+    add_k: float = 0.5,
+    sep: str = " ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-trained n-gram LM quality score — the perplexity filter of
+    CCNet (Wenzek et al., arXiv:1911.00359), self-trained: an add-k-
+    smoothed bigram LM is fit on the corpus itself in the same job that
+    scores it, so unusual token transitions (gibberish, boilerplate
+    markup, wrong-language fragments) surface as high perplexity with no
+    external model artifact.  Per bigram position,
+    ``logp = ln((C2(c,w) + k) / (C1(c) + k*V))`` where ``C2`` is the
+    corpus-wide count of the (context, word) pair, ``C1`` the corpus-wide
+    count of the context AS a context (so ``sum_w C2(c,w) == C1(c)``),
+    and ``V`` the corpus-wide distinct-token count.  Returns one row per
+    input document: ``(id_col, n_scored, nll, ppl)`` — ``nll`` is the
+    mean negative log-likelihood over the doc's ``n_scored`` bigram
+    positions, ``ppl = exp(nll)`` rounded to 4 dp (absorbs cross-engine
+    libm 1-ulp drift in the oracle compare); docs with fewer than 2
+    tokens are KEPT with ``n_scored = 0`` and null nll/ppl.
+
+    Scale shape: context/bigram hashing is a doc-local projection
+    (xxhash64 of one resp. two token strings), so the exploded relation
+    entering every shuffle is ``(id, ctx_hash, bigram_hash)`` = 24 B/row
+    — corpus-wide counts are WINDOW counts over the 8-byte hashes (two
+    chained window shuffles; per-key state is one count, no counts-table
+    materialization or join back — the bigram vocabulary at web scale is
+    billions of rows, too big to broadcast), and the vocabulary size V is
+    one ``count_distinct`` over the token hash (8-byte shuffle keys; the
+    token string never shuffles) broadcast back as a 1-row cross join.
+    The per-doc collapse is a partial+final avg.  Hash collisions merge a
+    2^-64 fraction of distinct tokens/bigrams into one count — the repo's
+    standard content-hash contract; the DuckDB oracle counts the token
+    STRINGS, so the value-green driver row is that contract's evidence."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+
+    pat = _re.escape(sep)
+    toks = F.split(F.col(text_col), pat, -1)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.xxhash64(F.get(toks, i)).alias("__ch"),
+                F.xxhash64(F.get(toks, i), F.get(toks, i + 1)).alias("__bh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<__ch:bigint,__bh:bigint>>"))
+
+    ex = docs.select(F.col(id_col), F.explode(bigrams).alias("__g")).select(
+        id_col, F.col("__g.__ch").alias("__ch"), F.col("__g.__bh").alias("__bh")
+    )
+    # V over token hashes: the distinct shuffle carries 8 bytes, not text
+    vocab = docs.select(
+        F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("__th")
+    ).agg(F.count_distinct("__th").alias("__V"))
+
+    k = F.lit(float(add_k))
+    counted = ex.withColumn(
+        "__c2", F.count("*").over(Window.partitionBy("__bh"))
+    ).withColumn("__c1", F.count("*").over(Window.partitionBy("__ch")))
+    scored = counted.crossJoin(F.broadcast(vocab)).select(
+        id_col,
+        F.log((F.col("__c2") + k) / (F.col("__c1") + k * F.col("__V"))).alias(
+            "__lp"
+        ),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_scored"), (-F.avg("__lp")).alias("nll")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.col("nll"),
+            F.round(F.exp("nll"), 4).alias("ppl"),
+        )
     )

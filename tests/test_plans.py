@@ -290,6 +290,30 @@ def test_dedup_ngram_spans_text_never_shuffles(spark):
         assert "text#" not in s, s
 
 
+def test_lm_perplexity_shuffles_hashes_only(spark):
+    """The self-trained bigram LM counts via chained window counts over
+    the 8-byte context/bigram hashes (no counts-table join-back), V via
+    count_distinct over the token hash — token strings reach no Exchange,
+    and V comes back as a broadcast, never a collected literal."""
+    from powershap_spark.operators.text import lm_perplexity
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(lm_perplexity(d))
+    keys = _exchange_keys(p)
+    assert any("__bh" in k for k in keys)
+    assert any("__ch" in k for k in keys)
+    assert any("__th" in k for k in keys)
+    assert any("doc_id" in k for k in keys)
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    sections = re.split(r"\n\n", p)
+    exchange_sections = [
+        s for s in sections if re.match(r"\(\d+\) (Broadcast)?Exchange", s)
+    ]
+    assert exchange_sections, p
+    for s in exchange_sections:
+        assert "text#" not in s, s
+
+
 def test_corpus_diff_shuffle_carries_hashes_not_text(spark):
     """Both corpus versions are projected to (id, xxhash64(text)) BEFORE
     the full-outer join: the join exchanges move 16 bytes/row, and the

@@ -139,6 +139,60 @@ def test_stratified_sample_semantics(spark):
         stratified_sample(df, "doc_id", "lang", {"en": 1.5})
 
 
+def test_upsample_mixture_semantics(spark):
+    from powershap_spark.operators.dedup import upsample_mixture
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000, dtype=np.int64),
+            "lang": np.tile(["en", "de", "fr", "zh"], 1000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"en": 0.7, "de": 2.4, "fr": 0.0}
+    out = upsample_mixture(df, "doc_id", "lang", w, default_weight=1.0)
+    got = out.toPandas()
+
+    # weight 0 drops the stratum; integer part is guaranteed per row
+    assert (got.lang != "fr").all()
+    de = got[got.lang == "de"].groupby("doc_id").copy_idx.agg(["count", "max"])
+    assert (de["count"] >= 2).all() and (de["count"] <= 3).all()
+    # copies are numbered 1..n
+    assert (de["max"] == de["count"]).all()
+    # realized rates hit the fractional expectation (Bernoulli tail)
+    assert abs(len(de) / 1000.0 - 1.0) < 1e-9  # every de doc kept >= twice
+    assert abs(de["count"].mean() - 2.4) < 0.08
+    en = got[got.lang == "en"].groupby("doc_id").size()
+    assert (en == 1).all() and abs(len(en) / 1000.0 - 0.7) < 0.08
+    # default weight 1.0 = exactly one copy of every row
+    zh = got[got.lang == "zh"]
+    assert len(zh) == 1000 and (zh.copy_idx == 1).all()
+
+    # determinism across partitionings: identical (doc_id, copy_idx) sets
+    got2 = (
+        upsample_mixture(
+            df.repartition(13), "doc_id", "lang", w, default_weight=1.0
+        )
+        .toPandas()
+    )
+    key = lambda g: set(zip(g.doc_id, g.copy_idx))  # noqa: E731
+    assert key(got2) == key(got)
+
+    # the fractional top-up is the SAME draw as deterministic_sample:
+    # en's kept set == the 0.7 sample of the en stratum
+    from powershap_spark.operators.dedup import deterministic_sample
+
+    en_direct = deterministic_sample(
+        df.filter(F.col("lang") == "en"), "doc_id", 0.7
+    ).toPandas()
+    assert set(en.index) == set(en_direct.doc_id)
+
+    with pytest.raises(ValueError):
+        upsample_mixture(df, "doc_id", "lang", {"en": -0.1})
+    with pytest.raises(ValueError):
+        upsample_mixture(df, "doc_id", "lang", w, copy_col="lang")
+
+
 def test_transition_counts(spark):
     from powershap_spark.operators.windows import transition_counts
 

@@ -1079,3 +1079,65 @@ def test_dedup_ngram_spans_semantics(spark):
         dedup_ngram_spans(docs, k=0, min_count=2)
     with pytest.raises(ValueError):
         dedup_ngram_spans(docs, k=3, min_count=0)
+
+
+def test_lm_perplexity_matches_reference_lm(spark):
+    """Spark result == a pure-python add-k bigram LM fit on the same
+    corpus (counts, smoothing, V, and the short-doc/null contract)."""
+    import math
+    from collections import Counter
+
+    from powershap_spark.operators.text import lm_perplexity
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "solo",
+        4: "",  # splits to [''] -> one token -> unscored
+        5: "the cat sat again",
+        6: "zz qq vv xx",  # all-unseen transitions -> highest ppl
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        lm_perplexity(docs, add_k=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    tok = {i: t.split(" ") for i, t in texts.items()}
+    V = len({w for ts in tok.values() for w in ts})
+    bg = [(c, w) for ts in tok.values() for c, w in zip(ts, ts[1:])]
+    C2, C1 = Counter(bg), Counter(c for c, _ in bg)
+    k = 0.5
+    for i, ts in tok.items():
+        lps = [
+            math.log((C2[(c, w)] + k) / (C1[c] + k * V))
+            for c, w in zip(ts, ts[1:])
+        ]
+        assert out.loc[i, "n_scored"] == len(lps)
+        if lps:
+            nll = -sum(lps) / len(lps)
+            assert out.loc[i, "nll"] == pytest.approx(nll, rel=1e-12)
+            assert out.loc[i, "ppl"] == pytest.approx(
+                round(math.exp(nll), 4), abs=1e-9
+            )
+        else:
+            assert pd.isna(out.loc[i, "nll"]) and pd.isna(out.loc[i, "ppl"])
+
+    # the gibberish doc scores strictly worse than every fluent doc
+    assert out.loc[6, "ppl"] > max(out.loc[1, "ppl"], out.loc[5, "ppl"])
+
+    # layout invariance: corpus-wide counts are partitioning-independent
+    out2 = (
+        lm_perplexity(docs.repartition(7), add_k=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out2.equals(out)
+
+    with pytest.raises(ValueError):
+        lm_perplexity(docs, add_k=0.0)
