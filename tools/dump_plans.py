@@ -147,6 +147,28 @@ def main():
             plan_of(em.q_profile_lineitem(spark, sf)),
         )
     )
+    sections.append(
+        (
+            "exact substring (span) dedup (two id/hash-keyed exchanges, "
+            "dup starts broadcast back — text in no shuffle)",
+            plan_of(em.q_dedup_spans_documents(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "LM perplexity filter (chained window counts over 8-byte "
+            "context/bigram hashes, V as a 1-row broadcast — token "
+            "strings in no shuffle)",
+            plan_of(em.q_lm_perplexity_documents(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "fractional-epoch mixture upsampling (pure projection + "
+            "explode(sequence) — zero exchange)",
+            plan_of(em.q_upsample_mixture_documents(spark, sf)),
+        )
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(
