@@ -302,6 +302,48 @@ def q_dedup_clusters_documents(spark, sf_dir):
     )
 
 
+def q_corpus_stats_windowed(spark, sf_dir):
+    """Event-time windowed corpus monitoring (streaming_corpus_stats run
+    in its batch mode — same code path the streaming parity test drives
+    with readStream): per (hourly window, lang) doc count, mean quality,
+    total whitespace tokens. Event time is derived deterministically
+    from doc_id (one doc per minute from 2024-01-01 00:00 UTC) so the
+    DuckDB oracle reproduces the exact same windows with time_bucket."""
+    from powershap_spark.streaming import streaming_corpus_stats
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    )
+    return streaming_corpus_stats(d, "1 hour", "0 seconds")
+
+
+def q_dedup_keep_best_documents(spark, sf_dir):
+    """Curation policy on top of near-dup clustering: keep the
+    HIGHEST-QUALITY document per duplicate cluster (tie -> min doc_id)
+    instead of the min-id representative — the composition a production
+    pipeline actually runs (cluster -> score -> argmax). Clusters are
+    the same exact-Jaccard components as dedup_clusters_documents;
+    quality is the heuristic scorer rounded to 6dp on BOTH engines so
+    the argmax compares identical keys. One row_number window over
+    (component) on the cluster-sized relation."""
+    from pyspark.sql import Window
+
+    from powershap_spark.operators.text import quality_score
+
+    comp = q_dedup_clusters_documents(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    q = d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    scored = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("component", "doc_id", "quality")
+    )
+
+
 def q_deterministic_sample_documents(spark, sf_dir):
     """Reproducible hash-based sampling (poly family so DuckDB recomputes
     the exact membership set): the sampled doc_id set is a pure function of
@@ -1253,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "dedup_keep_best_documents": q_dedup_keep_best_documents,
+        "corpus_stats_windowed": q_corpus_stats_windowed,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -1881,6 +1925,86 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
             )
             SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+        """,
+        "corpus_stats_windowed": f"""
+            WITH d AS (
+              SELECT doc_id, lang, text,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + (doc_id * 60) * INTERVAL 1 SECOND AS ts
+              FROM documents
+            ), b AS (
+              SELECT lang,
+                     time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                     length(text) AS n,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok,
+                     length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> list_contains({stop(_EN)}, x)))::DOUBLE
+                               / len(string_split_regex(trim(lower(text)), '\\s+')) END AS stop_ratio
+              FROM d
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 HOUR AS window_end,
+                   lang,
+                   COUNT(*)::BIGINT AS n_docs,
+                   ROUND(AVG((
+                     (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN n > 0 THEN 1.0 - least(punct::DOUBLE / n * 5.0, 1.0) ELSE 0.0 END)
+                     + (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END)
+                     + least(stop_ratio * 4.0, 1.0)
+                   ) / 4.0), 6) AS mean_quality,
+                   SUM(n_tok)::BIGINT AS n_tokens
+            FROM b GROUP BY window_start, lang
+        """,
+        "dedup_keep_best_documents": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+              FROM documents WHERE doc_id < 300
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), walk(id, comp) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+            ), comp AS (
+              SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+            ), b AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok,
+                     length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0
+                          ELSE len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> list_contains({stop(_EN)}, x)))::DOUBLE
+                               / len(string_split_regex(trim(lower(text)), '\\s+')) END AS stop_ratio
+              FROM documents WHERE doc_id < 300
+            ), q AS (
+              SELECT doc_id, round((
+                (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN n > 0 THEN 1.0 - least(punct::DOUBLE / n * 5.0, 1.0) ELSE 0.0 END)
+                + (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END)
+                + least(stop_ratio * 4.0, 1.0)
+              ) / 4.0, 6) AS quality
+              FROM b
+            ), ranked AS (
+              SELECT c.component, c.doc_id, q.quality,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+              FROM comp c JOIN q USING (doc_id))
+            SELECT component, doc_id, quality FROM ranked WHERE rk = 1
         """,
         "token_counts": """
             SELECT doc_id,

@@ -44,6 +44,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_point_in_time_join",
     "streaming_incremental_minhash_dedup",
+    "streaming_corpus_stats",
 ]
 
 TRANSCRIPT_SCHEMA = StructType(
@@ -628,3 +629,59 @@ def streaming_incremental_minhash_dedup(
         new_sigs.unpersist()
 
     return stream_docs.writeStream.foreachBatch(_batch).outputMode("update")
+
+
+def streaming_corpus_stats(
+    docs: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    ts_col: str = "ts",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Watermarked event-time windowed corpus monitoring — the ingestion
+    dashboard behind a continuous crawl: per (tumbling event-time window,
+    language): document count, mean heuristic quality, total whitespace
+    tokens. This is the one streaming shape the module's stateful
+    operators do NOT cover: a BUILT-IN windowed aggregation (pure JVM,
+    partial+final agg over window state — no Python stage, no custom
+    state schema), where the watermark both bounds state (a window's
+    aggregate is dropped once the watermark passes its end) and defines
+    emission (append mode emits a window exactly once, when finalized).
+
+    Works identically on a batch DataFrame (``withWatermark`` is a no-op
+    there) — the parity contract tested in ``test_streaming.py``: the
+    streamed result equals the batch groupBy(window) restricted to
+    finalized windows (end <= final watermark), across microbatch
+    slicings, with cross-batch accumulation and within-delay late rows
+    merged into their window. Rows later than the watermark are dropped
+    best-effort per Spark's contract (guaranteed-merged only within
+    ``watermark_delay``) — a monitoring aggregate, not an exactness
+    surface, which is why the delay should be sized to the feed's real
+    disorder.
+
+    Scale shape: state is one small aggregate row per (window, lang) —
+    bounded by languages x live windows, independent of corpus size; the
+    quality/token expressions are the batch operators' own column
+    expressions (operators/text.py), so batch and stream score
+    identically by construction."""
+    from powershap_spark.operators.text import quality_score, token_count
+
+    win = F.window(F.col(ts_col), window_duration).alias("__win")
+    return (
+        docs.withWatermark(ts_col, watermark_delay)
+        .groupBy(win, F.col(lang_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(quality_score(text_col)), 6).alias("mean_quality"),
+            F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("__win.start").alias("window_start"),
+            F.col("__win.end").alias("window_end"),
+            F.col(lang_col),
+            "n_docs",
+            "mean_quality",
+            "n_tokens",
+        )
+    )
