@@ -302,6 +302,18 @@ def q_dedup_clusters_documents(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords_documents(spark, sf_dir):
+    """Per-doc top-5 tf-idf keywords (metadata enrichment / routing).
+    tf collapses map-side on (doc, xxhash64(token)); df is a window
+    count over the 8-byte token hash on the collapsed relation; ranking
+    compares the 6dp-rounded score on BOTH engines so a 1-ulp ln()
+    difference cannot flip a keyword."""
+    from powershap_spark.operators.text import tfidf_keywords
+
+    d = _read(spark, sf_dir, "documents")
+    return tfidf_keywords(d, k=5)
+
+
 def q_corpus_stats_windowed(spark, sf_dir):
     """Event-time windowed corpus monitoring (streaming_corpus_stats run
     in its batch mode — same code path the streaming parity test drives
@@ -1297,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
         "corpus_stats_windowed": q_corpus_stats_windowed,
+        "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -1925,6 +1938,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
             )
             SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+        """,
+        "tfidf_keywords_documents": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN length(trim(text)) = 0
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM ex GROUP BY doc_id, token),
+            wdf AS (SELECT doc_id, token, tf,
+                           COUNT(*) OVER (PARTITION BY token) AS df
+                    FROM tf),
+            n AS (SELECT COUNT(*) AS nn FROM documents),
+            scored AS (
+              SELECT doc_id, token, tf::BIGINT AS tf, df::BIGINT AS df,
+                     ROUND(tf * ln((nn + 1.0) / (df + 1.0)), 6) AS score
+              FROM wdf CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+              FROM scored)
+            SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= 5
         """,
         "corpus_stats_windowed": f"""
             WITH d AS (

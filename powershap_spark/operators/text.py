@@ -23,6 +23,7 @@ __all__ = [
     "dedup_lines",
     "dedup_ngram_spans",
     "lm_perplexity",
+    "tfidf_keywords",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -447,4 +448,66 @@ def lm_perplexity(
             F.col("nll"),
             F.round(F.exp("nll"), 4).alias("ppl"),
         )
+    )
+
+
+def tfidf_keywords(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document top-k keyword extraction by tf-idf — the metadata-
+    enrichment operator a curation pipeline runs to tag/route documents
+    (topic bucketing, mixture labels, retrieval keys). Tokenization is
+    the module's shared ``_tokens`` (trim/lower/whitespace); per token
+    ``score = tf * ln((N + 1) / (df + 1))`` with tf the within-doc count,
+    df the number of docs containing the token, N the total document
+    count (empty docs included in N, emitted with no keywords). Ranking
+    compares the 6dp-ROUNDED score (then token asc) on purpose: both
+    engines of the oracle pair rank identical keys, so a 1-ulp ln()
+    difference between libms cannot flip a keyword. Returns
+    ``(id_col, token, tf, df, score)``, ``tf``/``df`` long, score rounded
+    to 6 dp, at most k rows per doc.
+
+    Scale shape: tf collapses on ``(id, xxhash64(token))`` with the token
+    string as a map-side-combined PAYLOAD (partial_first) — duplicates
+    merge before the exchange, so the shuffle is ~distinct (doc, token)
+    pairs, not corpus tokens; df is a WINDOW count over the 8-byte token
+    hash on that already-collapsed relation (per-key state = one count,
+    no vocabulary table is materialized or joined back — same choice as
+    lm_perplexity and for the same reason); N rides in as a 1-row
+    broadcast; the top-k is one row_number window per doc. Collisions
+    under xxhash64 merge 2^-64 of tokens (standard content-hash
+    contract; the oracle counts the strings)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    toks = _tokens(text_col)
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    tf = ex.groupBy(id_col, F.xxhash64("__tok").alias("__th")).agg(
+        F.first("__tok").alias("token"), F.count("*").alias("tf")
+    )
+    withdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("__th"))
+    )
+    n = docs.select(F.count("*").alias("__N"))
+    scored = withdf.crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log((F.col("__N") + 1) / (F.col("df") + 1)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
     )

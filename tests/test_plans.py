@@ -314,6 +314,31 @@ def test_lm_perplexity_shuffles_hashes_only(spark):
         assert "text#" not in s, s
 
 
+def test_tfidf_keywords_map_side_combine_and_hash_shuffles(spark):
+    """tf collapses map-side (partial_first/partial_count below the first
+    Exchange) keyed on (doc, token-hash); df is a window count over the
+    8-byte hash — no vocabulary groupBy+join-back; document text reaches
+    no Exchange (only the already-collapsed token payload does)."""
+    from powershap_spark.operators.text import tfidf_keywords
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(tfidf_keywords(d, k=5))
+    keys = _exchange_keys(p)
+    assert any("__th" in k for k in keys)
+    assert any("doc_id" in k for k in keys)
+    assert "partial_first" in p  # map-side combine before the tf exchange
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2  # df count + top-k
+    # rank<=k is pushed below the final exchange (per-partition prune)
+    assert "WindowGroupLimit" in p
+    sections = re.split(r"\n\n", p)
+    exchange_sections = [
+        s for s in sections if re.match(r"\(\d+\) (Broadcast)?Exchange", s)
+    ]
+    assert exchange_sections, p
+    for s in exchange_sections:
+        assert "text#" not in s, s
+
+
 def test_corpus_diff_shuffle_carries_hashes_not_text(spark):
     """Both corpus versions are projected to (id, xxhash64(text)) BEFORE
     the full-outer join: the join exchanges move 16 bytes/row, and the

@@ -1141,3 +1141,53 @@ def test_lm_perplexity_matches_reference_lm(spark):
 
     with pytest.raises(ValueError):
         lm_perplexity(docs, add_k=0.0)
+
+
+def test_tfidf_keywords_matches_reference(spark):
+    """Spark result == a pure-python tf-idf over the same tokenization:
+    tf * ln((N+1)/(df+1)), top-k by (rounded score desc, token asc)."""
+    import math
+    from collections import Counter
+
+    from powershap_spark.operators.text import tfidf_keywords
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana cherry cherry dates",
+        3: "unique words only here",
+        4: "",  # no keywords, still counted in N
+        5: "Apple APPLE apple",  # lowercased: tf=3 of one token
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = tfidf_keywords(docs, k=2).toPandas()
+
+    tok = {i: t.lower().split() for i, t in texts.items() if t.strip()}
+    N = len(texts)
+    df_counts = Counter(w for ts in tok.values() for w in set(ts))
+    expected = {}
+    for i, ts in tok.items():
+        rows = [
+            (w, c, df_counts[w], round(c * math.log((N + 1) / (df_counts[w] + 1)), 6))
+            for w, c in Counter(ts).items()
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        expected[i] = rows[:2]
+
+    for i, rows in expected.items():
+        g = out[out.doc_id == i].sort_values(
+            ["score", "token"], ascending=[False, True]
+        )
+        assert [tuple(r) for r in g[["token", "tf", "df", "score"]].to_numpy()] == [
+            (w, tf, dfc, s) for (w, tf, dfc, s) in rows
+        ], (i, g)
+    assert (out.doc_id != 4).all()  # empty doc emits nothing
+
+    # layout invariance
+    out2 = tfidf_keywords(docs.repartition(7), k=2).toPandas()
+    key = lambda g: set(map(tuple, g.to_numpy().tolist()))  # noqa: E731
+    assert key(out2) == key(out)
+
+    with pytest.raises(ValueError):
+        tfidf_keywords(docs, k=0)

@@ -169,6 +169,13 @@ def main():
             plan_of(em.q_upsample_mixture_documents(spark, sf)),
         )
     )
+    sections.append(
+        (
+            "tf-idf keywords (map-side tf combine, df as hash-keyed window "
+            "count, WindowGroupLimit pruning rank<=k below the exchange)",
+            plan_of(em.q_tfidf_keywords_documents(spark, sf)),
+        )
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(
