@@ -302,6 +302,19 @@ def q_dedup_clusters_documents(spark, sf_dir):
     )
 
 
+def q_bpe_merges_documents(spark, sf_dir):
+    """Distributed BPE tokenizer induction (Sennrich 1508.07909): the
+    first 12 merge rules learned from the documents corpus. Rows-only
+    driver check (the iterative argmax chain is not SQL-expressible);
+    the semantics are pinned bit-exactly against a pure-python Sennrich
+    reference in test_text_dedup_sim.py, including tie-breaks, overlap
+    handling, early stop, and partitioning invariance."""
+    from powershap_spark.operators.text import bpe_learn
+
+    d = _read(spark, sf_dir, "documents")
+    return bpe_learn(d, n_merges=12)
+
+
 def q_tfidf_keywords_documents(spark, sf_dir):
     """Per-doc top-5 tf-idf keywords (metadata enrichment / routing).
     tf collapses map-side on (doc, xxhash64(token)); df is a window
@@ -1310,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
+        "bpe_merges_documents": q_bpe_merges_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,

@@ -24,6 +24,7 @@ __all__ = [
     "dedup_ngram_spans",
     "lm_perplexity",
     "tfidf_keywords",
+    "bpe_learn",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -510,4 +511,137 @@ def tfidf_keywords(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= int(k))
         .drop("__rk")
+    )
+
+
+def bpe_learn(
+    docs,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+):
+    """Distributed BPE tokenizer induction (Sennrich et al.,
+    arXiv:1508.07909): learn the first ``n_merges`` merge rules from the
+    corpus. Returns a DataFrame ``(merge_idx, left, right, pair_count)``
+    — the merge table a tokenizer ships; deterministic tie-break is
+    (pair_count desc, left asc, right asc). Stops early when no pair
+    remains (every word fused to one symbol). Variant: character
+    symbols, no end-of-word marker, tokens from the module's shared
+    ``_tokens`` (trim/lower/whitespace) — semantics pinned bit-exactly
+    by a pure-python reference in ``test_text_dedup_sim.py``.
+
+    Scale shape — the textbook BPE trick IS the distributed design:
+    merges are learned on the WORD-FREQUENCY DICTIONARY, not the raw
+    corpus, so the corpus is touched exactly once (token count collapse,
+    the same map-side-combined shuffle as every counting operator here)
+    and each of the ``n_merges`` iterations runs on the vocab-sized
+    table (distinct words — orders of magnitude smaller, still
+    distributed: 10^8 rows at web scale). Per iteration: pair counts
+    are a partial+final SUM over exploded adjacent symbol pairs, the
+    argmax is ONE collected row (the repo's scalar-action convention,
+    like connected_components' convergence checks), and the merge
+    application is a pure JVM left-fold over each word's symbol array
+    (non-overlapping, left-to-right). The evolving vocab re-persists
+    every iteration with the previous handle released; every
+    ``checkpoint_every`` iterations the lineage is cut via
+    localCheckpoint (same chain-control as connected_components)."""
+    from pyspark import StorageLevel
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+
+    toks = _tokens(text_col)
+    vocab = (
+        docs.select(F.explode(toks).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            F.col("__c"),
+            F.regexp_extract_all(F.col("__w"), F.lit("."), 0).alias("__s"),
+        )
+    )
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+
+    def _pair_counts(v):
+        n = F.size(F.col("__s"))
+        pairs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.get(F.col("__s"), i).alias("left"),
+                    F.get(F.col("__s"), i + 1).alias("right"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        return (
+            v.select(F.col("__c"), F.explode(pairs).alias("__p"))
+            .groupBy(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"))
+            .agg(F.sum("__c").alias("pair_count"))
+        )
+
+    def _apply_merge(v, a, b):
+        s = F.col("__s")
+        n = F.size(s)
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+        )
+        merged = F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            acc0,
+            lambda acc, i: F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                (F.get(s, i) == F.lit(a))
+                & (i < n - 1)
+                & (F.get(s, i + 1) == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(F.get(s, i))).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            ),
+            lambda acc: acc["out"],
+        )
+        return v.select(F.col("__c"), merged.alias("__s"))
+
+    merges = []
+    spark = docs.sparkSession
+    for it in range(int(n_merges)):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((it, a, b, cnt))
+        if it == int(n_merges) - 1:
+            break  # table complete; skip the unused final rewrite
+        nxt = _apply_merge(vocab, a, b)
+        if (it + 1) % int(checkpoint_every) == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+
+    return spark.createDataFrame(
+        merges or [], "merge_idx int, left string, right string, pair_count long"
     )

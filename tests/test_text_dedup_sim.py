@@ -1191,3 +1191,68 @@ def test_tfidf_keywords_matches_reference(spark):
 
     with pytest.raises(ValueError):
         tfidf_keywords(docs, k=0)
+
+
+def test_bpe_learn_matches_sennrich_reference(spark):
+    """Spark merge table == the classic single-process BPE (Sennrich
+    1508.07909: pair counts on the word dictionary, argmax with
+    (count desc, pair asc) tie-break, left-to-right non-overlapping
+    merge application), bit-exactly, plus early stop and determinism
+    across partitionings."""
+    from collections import Counter
+
+    from powershap_spark.operators.text import bpe_learn
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low",
+        "wider wide widest newer",
+        "aaa aa aaa",  # overlapping-pair stress: 'aaa' merges (a,a) once
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def reference(texts, n_merges):
+        wc = Counter(w for t in texts for w in t.lower().split())
+        vocab = {w: (list(w), c) for w, c in wc.items()}
+        merges = []
+        for it in range(n_merges):
+            pc = Counter()
+            for _, (syms, c) in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((it, a, b, cnt))
+            for w, (syms, c) in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = (out, c)
+        return pd.DataFrame(
+            merges, columns=["merge_idx", "left", "right", "pair_count"]
+        )
+
+    got = bpe_learn(docs, n_merges=10, checkpoint_every=3).toPandas()
+    exp = reference(texts, 10)
+    assert got.astype(str).values.tolist() == exp.astype(str).values.tolist()
+
+    # layout invariance: the argmax chain is partitioning-independent
+    got2 = bpe_learn(docs.repartition(7), n_merges=10).toPandas()
+    assert got2.equals(got)
+
+    # early stop: a one-letter corpus fuses to single symbols immediately
+    tiny = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["ab ab"]}))
+    small = bpe_learn(tiny, n_merges=5).toPandas()
+    assert len(small) == 1  # merge (a,b), then no pair remains
+    assert (small.left.iloc[0], small.right.iloc[0]) == ("a", "b")
+
+    with pytest.raises(ValueError):
+        bpe_learn(docs, n_merges=0)
