@@ -302,6 +302,31 @@ def q_dedup_clusters_documents(spark, sf_dir):
     )
 
 
+def q_token_shift_documents(spark, sf_dir):
+    """Distribution-drift triage between two snapshot views of the
+    documents table (the same %7 id-bucket construction as
+    corpus_diff_documents): top-20 tokens by |p_new - p_old|, ranking
+    on the 6dp-rounded shift so both engines order identical keys."""
+    from powershap_spark.operators.text import token_shift
+
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 1)
+    new = d.filter(F.col("doc_id") % 7 != 2)
+    return token_shift(old, new, k=20)
+
+
+def q_corpus_divergence_documents(spark, sf_dir):
+    """One-row Jensen-Shannon drift alarm between the same two snapshot
+    views: js divergence (nats) + per-side token totals and vocabulary
+    sizes — the scalar a daily ingest job thresholds on."""
+    from powershap_spark.operators.text import corpus_divergence
+
+    d = _read(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 1)
+    new = d.filter(F.col("doc_id") % 7 != 2)
+    return corpus_divergence(old, new)
+
+
 def q_bpe_merges_documents(spark, sf_dir):
     """Distributed BPE tokenizer induction (Sennrich 1508.07909): the
     first 12 merge rules learned from the documents corpus. Rows-only
@@ -1324,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "token_shift_documents": q_token_shift_documents,
+        "corpus_divergence_documents": q_corpus_divergence_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,
@@ -1952,6 +1979,71 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
             )
             SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+        """,
+        "token_shift_documents": """
+            WITH eo AS (
+              SELECT unnest(CASE WHEN length(trim(text)) = 0
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents WHERE doc_id % 7 != 1),
+            en AS (
+              SELECT unnest(CASE WHEN length(trim(text)) = 0
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents WHERE doc_id % 7 != 2),
+            co AS (SELECT tok, COUNT(*) AS c_old FROM eo GROUP BY tok),
+            cn AS (SELECT tok, COUNT(*) AS c_new FROM en GROUP BY tok),
+            t AS (SELECT (SELECT SUM(c_old) FROM co) AS t_o,
+                         (SELECT SUM(c_new) FROM cn) AS t_n),
+            j AS (
+              SELECT COALESCE(co.tok, cn.tok) AS token,
+                     COALESCE(c_old, 0) AS c_old,
+                     COALESCE(c_new, 0) AS c_new
+              FROM co FULL OUTER JOIN cn ON co.tok = cn.tok)
+            SELECT token, c_old::BIGINT AS c_old, c_new::BIGINT AS c_new,
+                   ROUND(c_old / t_o, 6) AS p_old,
+                   ROUND(c_new / t_n, 6) AS p_new,
+                   ROUND(c_new / t_n - c_old / t_o, 6) AS shift
+            FROM j CROSS JOIN t
+            ORDER BY ABS(ROUND(c_new / t_n - c_old / t_o, 6)) DESC, token
+            LIMIT 20
+        """,
+        "corpus_divergence_documents": """
+            WITH eo AS (
+              SELECT unnest(CASE WHEN length(trim(text)) = 0
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents WHERE doc_id % 7 != 1),
+            en AS (
+              SELECT unnest(CASE WHEN length(trim(text)) = 0
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS tok
+              FROM documents WHERE doc_id % 7 != 2),
+            co AS (SELECT tok, COUNT(*) AS c_old FROM eo GROUP BY tok),
+            cn AS (SELECT tok, COUNT(*) AS c_new FROM en GROUP BY tok),
+            t AS (SELECT (SELECT SUM(c_old) FROM co) AS t_o,
+                         (SELECT SUM(c_new) FROM cn) AS t_n),
+            p AS (
+              SELECT COALESCE(co.tok, cn.tok) AS token,
+                     COALESCE(c_old, 0) AS c_old,
+                     COALESCE(c_new, 0) AS c_new,
+                     COALESCE(c_old, 0) / t_o AS p,
+                     COALESCE(c_new, 0) / t_n AS q
+              FROM co FULL OUTER JOIN cn ON co.tok = cn.tok CROSS JOIN t)
+            SELECT ROUND(SUM(
+                     CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                          ELSE 0 END
+                     + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                            ELSE 0 END), 6) AS js_divergence,
+                   SUM(c_old)::BIGINT AS n_tokens_old,
+                   SUM(c_new)::BIGINT AS n_tokens_new,
+                   SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_old,
+                   SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_new
+            FROM p
         """,
         "tfidf_keywords_documents": """
             WITH ex AS (

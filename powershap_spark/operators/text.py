@@ -25,6 +25,8 @@ __all__ = [
     "lm_perplexity",
     "tfidf_keywords",
     "bpe_learn",
+    "token_shift",
+    "corpus_divergence",
 ]
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"]
@@ -644,4 +646,123 @@ def bpe_learn(
 
     return spark.createDataFrame(
         merges or [], "merge_idx int, left string, right string, pair_count long"
+    )
+
+
+def _joined_token_probs(old, new, text_col: str):
+    """(token, c_old, c_new, p_old, p_new) over the union vocabulary,
+    built in ONE pass: the sides are tagged and unioned BEFORE counting,
+    so one explode + one map-side-combined groupBy on the 8-byte token
+    hash yields both sides' counts per row — no per-side count tables,
+    no full-outer join, and each corpus scanned exactly once. Absent
+    tokens count 0 — probabilities are exact corpus frequencies, no
+    smoothing (drift monitoring wants the raw shift).
+
+    The vocab-sized counts table is a diamond (read again for the side
+    totals that ride back as a 1-row broadcast), so it is
+    tracked-persisted — without it Spark re-runs the corpus scan for the
+    totals branch (no ReusedExchange: the pruned totals subtree doesn't
+    canonicalize equal). Callers release via the repo's tracked-persist
+    discipline (``caching.tracking_scope`` / ``release_tracked``), same
+    as the minhash signature cache."""
+    from ..caching import tracked_persist
+
+    u = old.select(
+        F.lit(0).alias("__side"), F.col(text_col).alias("__text")
+    ).unionAll(new.select(F.lit(1).alias("__side"), F.col(text_col).alias("__text")))
+    ex = u.select("__side", F.explode(_tokens("__text")).alias("__tok"))
+    counts = tracked_persist(
+        ex.groupBy(F.xxhash64("__tok").alias("__th")).agg(
+            F.first("__tok").alias("token"),
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("c_old"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("c_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_old").alias("__to"), F.sum("c_new").alias("__tn")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("c_old").cast("long").alias("c_old"),
+        F.col("c_new").cast("long").alias("c_new"),
+        (F.col("c_old") / F.col("__to")).alias("p_old"),
+        (F.col("c_new") / F.col("__tn")).alias("p_new"),
+    )
+
+
+def token_shift(
+    old,
+    new,
+    k: int = 20,
+    text_col: str = "text",
+):
+    """Distribution-drift triage between two corpus snapshots: the k
+    tokens whose corpus probability moved most, ``shift = p_new -
+    p_old`` (positive = over-represented in the new snapshot) — the
+    actionable artifact behind "did yesterday's crawl change the mix?"
+    (a boilerplate burst, a language drift, a spam template). Ordering
+    compares the 6dp-ROUNDED |shift| (then token asc) so both engines of
+    the oracle pair rank identical keys. Returns
+    ``(token, c_old, c_new, p_old, p_new, shift)``, probabilities
+    rounded to 6 dp.
+
+    Scale shape: per-side counts shuffle ~distinct tokens (map-side
+    combine, 8-byte hash keys); the full-outer join is vocab x vocab on
+    the hash; totals are two 1-row broadcasts; the global top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
+    partition heaps + one k-row merge), never an Exchange
+    SinglePartition over the vocabulary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    probs = _joined_token_probs(old, new, text_col)
+    shift = F.round(F.col("p_new") - F.col("p_old"), 6)
+    return (
+        probs.select(
+            "token",
+            "c_old",
+            "c_new",
+            F.round("p_old", 6).alias("p_old"),
+            F.round("p_new", 6).alias("p_new"),
+            shift.alias("shift"),
+        )
+        .orderBy(F.abs(F.col("shift")).desc(), F.col("token").asc())
+        .limit(int(k))
+    )
+
+
+def corpus_divergence(
+    old,
+    new,
+    text_col: str = "text",
+):
+    """Jensen-Shannon divergence (natural log) between two snapshots'
+    token distributions, plus the side totals — the one-number drift
+    alarm a daily ingest job thresholds on (0 = identical mix,
+    ln 2 ~= 0.693 = disjoint vocabularies). Zero-probability terms
+    contribute 0 by the standard convention. Returns ONE row
+    ``(js_divergence, n_tokens_old, n_tokens_new, vocab_old,
+    vocab_new)``; js rounded to 6 dp.
+
+    Scale shape: the same vocab-sized joined-probabilities relation as
+    ``token_shift`` collapsed by one partial+final aggregate — the
+    output is a single row, nothing vocabulary-sized ever reaches the
+    driver."""
+    probs = _joined_token_probs(old, new, text_col)
+    m = (F.col("p_old") + F.col("p_new")) / 2
+    term = (
+        F.when(
+            F.col("p_old") > 0,
+            0.5 * F.col("p_old") * F.log(F.col("p_old") / m),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("p_new") > 0,
+            0.5 * F.col("p_new") * F.log(F.col("p_new") / m),
+        ).otherwise(F.lit(0.0))
+    )
+    return probs.agg(
+        F.round(F.sum(term), 6).alias("js_divergence"),
+        F.sum("c_old").alias("n_tokens_old"),
+        F.sum("c_new").alias("n_tokens_new"),
+        F.sum(F.when(F.col("c_old") > 0, 1).otherwise(0)).alias("vocab_old"),
+        F.sum(F.when(F.col("c_new") > 0, 1).otherwise(0)).alias("vocab_new"),
     )

@@ -82,3 +82,23 @@ def test_select_features_uses_a_scope_not_the_globals(spark):
         "select_features released a persist it did not register"
     )
     release_tracked()
+
+
+def test_token_drift_counts_cache_is_released(spark):
+    from powershap_spark.operators.text import corpus_divergence
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": [f"alpha beta {i % 5} gamma" for i in range(20)],
+            }
+        )
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = corpus_divergence(old, new)
+    assert out.count() == 1
+    assert _n_persistent(spark) > 0, "counts diamond should be persisted"
+    release_tracked()
+    assert _n_persistent(spark) == 0, "release_tracked must drop the counts"

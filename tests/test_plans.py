@@ -339,6 +339,33 @@ def test_tfidf_keywords_map_side_combine_and_hash_shuffles(spark):
         assert "text#" not in s, s
 
 
+def test_token_shift_topk_is_take_ordered_not_single_partition(spark):
+    """The global top-k shift uses orderBy().limit(k) so Spark plans
+    TakeOrderedAndProject (per-partition heaps + one k-row merge) — a
+    row_number window here would force Exchange SinglePartition over the
+    whole vocabulary; and the count shuffles are hash-keyed with the
+    document text in no Exchange."""
+    from powershap_spark.operators.text import token_shift
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 7 != 1)
+    new = d.filter(F.col("doc_id") % 7 != 2)
+    p = _plan(token_shift(old, new, k=20))
+    assert "TakeOrderedAndProject" in p
+    keys = _exchange_keys(p)
+    # the count shuffle keys on the xxhash64 grouping expression — a
+    # bigint (the '#NNL' attr suffix), never the token string
+    assert any("_groupingexpression" in k and "L," in k for k in keys), keys
+    sections = re.split(r"\n\n", p)
+    for s in sections:
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", s):
+            assert "text#" not in s, s
+        # the only SinglePartition exchanges are the two scalar totals
+        # (partial-sum rows) — the vocabulary never funnels to one task
+        if re.match(r"\(\d+\) Exchange", s) and "SinglePartition" in s:
+            assert "token#" not in s and "__tok" not in s, s
+
+
 def test_corpus_diff_shuffle_carries_hashes_not_text(spark):
     """Both corpus versions are projected to (id, xxhash64(text)) BEFORE
     the full-outer join: the join exchanges move 16 bytes/row, and the

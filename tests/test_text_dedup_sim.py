@@ -1256,3 +1256,55 @@ def test_bpe_learn_matches_sennrich_reference(spark):
 
     with pytest.raises(ValueError):
         bpe_learn(docs, n_merges=0)
+
+
+def test_token_shift_and_corpus_divergence_match_reference(spark):
+    """Both drift operators == a pure-python recomputation over the same
+    tokenization: exact corpus frequencies, JS divergence with the
+    0*ln(0)=0 convention, shift ranking on rounded values."""
+    import math
+    from collections import Counter
+
+    from powershap_spark.operators.text import corpus_divergence, token_shift
+
+    old_t = ["the cat sat", "the dog ran", "spam spam spam"]
+    new_t = ["the cat sat", "the dog ran fast", "buy now buy now buy"]
+    old = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": old_t}))
+    new = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": new_t}))
+
+    co = Counter(w for t in old_t for w in t.lower().split())
+    cn = Counter(w for t in new_t for w in t.lower().split())
+    to, tn = sum(co.values()), sum(cn.values())
+
+    shift = token_shift(old, new, k=4).toPandas()
+    exp = sorted(
+        ((round(cn[w] / tn - co[w] / to, 6), w) for w in set(co) | set(cn)),
+        key=lambda x: (-abs(x[0]), x[1]),
+    )[:4]
+    assert list(zip(shift["shift"], shift.token)) == exp
+    assert list(shift.c_old) == [co[w] for _, w in exp]
+    assert list(shift.c_new) == [cn[w] for _, w in exp]
+
+    div = corpus_divergence(old, new).toPandas().iloc[0]
+    js = 0.0
+    for w in set(co) | set(cn):
+        p, q = co[w] / to, cn[w] / tn
+        m = (p + q) / 2
+        js += (0.5 * p * math.log(p / m) if p else 0.0) + (
+            0.5 * q * math.log(q / m) if q else 0.0
+        )
+    assert div.js_divergence == pytest.approx(round(js, 6), abs=1e-9)
+    assert (div.n_tokens_old, div.n_tokens_new) == (to, tn)
+    assert (div.vocab_old, div.vocab_new) == (len(co), len(cn))
+
+    # identical snapshots -> zero divergence, zero shifts
+    same = corpus_divergence(old, old).toPandas().iloc[0]
+    assert same.js_divergence == 0.0
+    assert (token_shift(old, old, k=3).toPandas()["shift"] == 0.0).all()
+
+    # layout invariance
+    div2 = corpus_divergence(old.repartition(5), new.repartition(3)).toPandas()
+    assert div2.iloc[0].js_divergence == div.js_divergence
+
+    with pytest.raises(ValueError):
+        token_shift(old, new, k=0)
