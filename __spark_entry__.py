@@ -307,24 +307,33 @@ def q_token_shift_documents(spark, sf_dir):
     documents table (the same %7 id-bucket construction as
     corpus_diff_documents): top-20 tokens by |p_new - p_old|, ranking
     on the 6dp-rounded shift so both engines order identical keys."""
+    from powershap_spark.caching import tracking_scope
     from powershap_spark.operators.text import token_shift
 
     d = _read(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 7 != 1)
     new = d.filter(F.col("doc_id") % 7 != 2)
-    return token_shift(old, new, k=20)
+    # scope the counts-diamond persist so repeated driver calls don't
+    # accumulate cached DataFrames in the global registry (the result is
+    # k rows — materializing it inside the scope costs nothing)
+    with tracking_scope():
+        out = token_shift(old, new, k=20)
+        return spark.createDataFrame(out.toPandas(), out.schema)
 
 
 def q_corpus_divergence_documents(spark, sf_dir):
     """One-row Jensen-Shannon drift alarm between the same two snapshot
     views: js divergence (nats) + per-side token totals and vocabulary
     sizes — the scalar a daily ingest job thresholds on."""
+    from powershap_spark.caching import tracking_scope
     from powershap_spark.operators.text import corpus_divergence
 
     d = _read(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 7 != 1)
     new = d.filter(F.col("doc_id") % 7 != 2)
-    return corpus_divergence(old, new)
+    with tracking_scope():  # see q_token_shift_documents
+        out = corpus_divergence(old, new)
+        return spark.createDataFrame(out.toPandas(), out.schema)
 
 
 def q_bpe_merges_documents(spark, sf_dir):
@@ -2480,7 +2489,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bgf b JOIN c2 USING (c, w) JOIN c1 USING (c) CROSS JOIN v)
             SELECT d.doc_id,
                    COUNT(lp)::BIGINT AS n_scored,
-                   -AVG(lp) AS nll,
+                   ROUND(-AVG(lp), 6) AS nll,
                    ROUND(EXP(-AVG(lp)), 4) AS ppl
             FROM documents d LEFT JOIN s USING (doc_id)
             GROUP BY d.doc_id

@@ -43,16 +43,17 @@ def _tokens(col) -> "F.Column":
     )
 
 
-def _word_ngrams(toks, n: int):
+def _word_ngrams(toks, n: int, sep: str = " "):
     """Word n-gram array from a token array: empty for docs with < n
-    tokens. Shared by repetition_ratios and topk_ngrams (keep in sync with
-    the DuckDB oracle mirrors in __spark_entry__.py)."""
+    tokens (the descending-``sequence()`` guard lives here). Shared by
+    repetition_ratios, topk_ngrams, and dedup_ngram_spans (keep in sync
+    with the DuckDB oracle mirrors in __spark_entry__.py)."""
     win = F.size(toks) - (n - 1)
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), win - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), sep),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -328,15 +329,11 @@ def dedup_ngram_spans(
 
     pat = _re.escape(sep)
     toks = F.split(F.col(text_col), pat, -1)
-    # start positions are 0-based; sequence() descends when stop < start,
-    # so short docs must short-circuit to an empty gram array
-    gram_hashes = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), sep)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # gram construction shared with repetition_ratios/topk_ngrams; start
+    # positions are 0-based (posexplode index over the gram array)
+    gram_hashes = F.transform(
+        _word_ngrams(toks, k, sep), lambda g: F.xxhash64(g)
+    )
 
     grams = docs.select(
         F.col(id_col), F.posexplode(gram_hashes).alias("__s", "__h")
@@ -384,9 +381,10 @@ def lm_perplexity(
     and ``V`` the corpus-wide distinct-token count.  Returns one row per
     input document: ``(id_col, n_scored, nll, ppl)`` — ``nll`` is the
     mean negative log-likelihood over the doc's ``n_scored`` bigram
-    positions, ``ppl = exp(nll)`` rounded to 4 dp (absorbs cross-engine
-    libm 1-ulp drift in the oracle compare); docs with fewer than 2
-    tokens are KEPT with ``n_scored = 0`` and null nll/ppl.
+    positions rounded to 6 dp, ``ppl = exp(nll)`` rounded to 4 dp (both
+    roundings absorb cross-engine libm/summation-order drift in the
+    oracle compare); docs with fewer than 2 tokens are KEPT with
+    ``n_scored = 0`` and null nll/ppl.
 
     Scale shape: context/bigram hashing is a doc-local projection
     (xxhash64 of one resp. two token strings), so the exploded relation
@@ -448,7 +446,7 @@ def lm_perplexity(
         .select(
             F.col(id_col),
             F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
-            F.col("nll"),
+            F.round(F.col("nll"), 6).alias("nll"),
             F.round(F.exp("nll"), 4).alias("ppl"),
         )
     )
@@ -551,6 +549,10 @@ def bpe_learn(
 
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
 
     toks = _tokens(text_col)
     vocab = (

@@ -80,9 +80,14 @@ def main():
                 out = subprocess.run(
                     [sys.executable, "-c", CHILD], cwd=ROOT, env=env,
                     capture_output=True, text=True, timeout=3600)
-                line = [l for l in out.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                rec = json.loads(line)
+                lines = [l for l in out.stdout.splitlines()
+                         if l.startswith("{")]
+                if out.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"bench child {op} local[{cpus}] failed "
+                        f"(rc={out.returncode}):\n{out.stderr[-3000:]}"
+                    )
+                rec = json.loads(lines[-1])
                 cells[(op, cpus)].append(rec["wall"])
                 print(f"round {r} {op} local[{cpus}]: {rec['wall']}s",
                       flush=True)
