@@ -176,6 +176,25 @@ def main():
             plan_of(em.q_tfidf_keywords_documents(spark, sf)),
         )
     )
+    from powershap_spark.caching import tracking_scope
+    from powershap_spark.operators.text import token_shift
+
+    d6 = spark.read.parquet(f"{sf}/documents.parquet")
+    with tracking_scope():
+        sections.append(
+            (
+                "token distribution shift (side-tagged single-scan counts, "
+                "persisted diamond, TakeOrderedAndProject top-k — vocab "
+                "never funnels to one task)",
+                plan_of(
+                    token_shift(
+                        d6.filter(F.col("doc_id") % 7 != 1),
+                        d6.filter(F.col("doc_id") % 7 != 2),
+                        k=20,
+                    )
+                ),
+            )
+        )
 
     with open("PLANS.md", "w") as f:
         f.write(
