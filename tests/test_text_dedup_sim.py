@@ -1308,3 +1308,100 @@ def test_token_shift_and_corpus_divergence_match_reference(spark):
 
     with pytest.raises(ValueError):
         token_shift(old, new, k=0)
+
+
+def test_text_ops_randomized_bulk_parity(spark):
+    """Seeded randomized corpus (200 docs, tiny vocab so collisions/
+    repeats/overlaps occur constantly) checked wholesale against pure-
+    python references for the three subtle text operators — the bulk
+    analogue of a property test (one Spark job per operator, not one per
+    example). Covers: gram overlap unions across doc boundaries,
+    within-doc repeats, short docs, empty docs, scrub-to-empty, bigram
+    context-vs-unigram counting, and tf-idf tie-breaks under heavy
+    count collisions."""
+    import math
+    import random
+    from collections import Counter
+
+    from powershap_spark.operators.text import (
+        dedup_ngram_spans,
+        lm_perplexity,
+        tfidf_keywords,
+    )
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {}
+    for i in range(200):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 13, 30])
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    tok = {i: (t.split(" ") if t else [""]) for i, t in texts.items()}
+
+    # --- dedup_ngram_spans(k=3, min_count=2) ---------------------------
+    k = 3
+    grams = Counter()
+    for ts in tok.values():
+        for s in range(len(ts) - k + 1):
+            grams[tuple(ts[s : s + k])] += 1
+    out = (
+        dedup_ngram_spans(docs, k=k, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, ts in tok.items():
+        covered = set()
+        for s in range(len(ts) - k + 1):
+            if grams[tuple(ts[s : s + k])] >= 2:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        assert out.loc[i, "text"] == " ".join(kept), i
+        assert out.loc[i, "n_removed"] == len(covered), i
+
+    # --- lm_perplexity(add_k=0.5) --------------------------------------
+    V = len({w for ts in tok.values() for w in ts})
+    bg = [(c, w) for ts in tok.values() for c, w in zip(ts, ts[1:])]
+    C2, C1 = Counter(bg), Counter(c for c, _ in bg)
+    ppl = (
+        lm_perplexity(docs, add_k=0.5).toPandas().set_index("doc_id").sort_index()
+    )
+    for i, ts in tok.items():
+        lps = [
+            math.log((C2[(c, w)] + 0.5) / (C1[c] + 0.5 * V))
+            for c, w in zip(ts, ts[1:])
+        ]
+        assert ppl.loc[i, "n_scored"] == len(lps), i
+        if lps:
+            nll = -sum(lps) / len(lps)
+            assert ppl.loc[i, "nll"] == pytest.approx(round(nll, 6), abs=1e-9)
+        else:
+            assert pd.isna(ppl.loc[i, "nll"])
+
+    # --- tfidf_keywords(k=3) -------------------------------------------
+    # tfidf tokenizes via _tokens (trim/lower, EMPTY array for blank
+    # docs), unlike spans/perplexity's raw split (blank -> ['']): our
+    # texts are already lowercase single-spaced, so mirror with .split()
+    tok_tfidf = {i: (t.split(" ") if t else []) for i, t in texts.items()}
+    N = len(texts)
+    df_counts = Counter(w for ts in tok_tfidf.values() for w in set(ts))
+    got = tfidf_keywords(docs, k=3).toPandas()
+    for i, ts in tok_tfidf.items():
+        rows = [
+            (
+                w,
+                c,
+                df_counts[w],
+                round(c * math.log((N + 1) / (df_counts[w] + 1)), 6),
+            )
+            for w, c in Counter(ts).items()
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        g = got[got.doc_id == i].sort_values(
+            ["score", "token"], ascending=[False, True]
+        )
+        assert [tuple(r) for r in g[["token", "tf", "df", "score"]].to_numpy()] == [
+            tuple(r) for r in rows[:3]
+        ], i
