@@ -336,6 +336,20 @@ def q_corpus_divergence_documents(spark, sf_dir):
         return spark.createDataFrame(out.toPandas(), out.schema)
 
 
+def q_pack_contiguous_documents(spark, sf_dir):
+    """GPT-style contiguous packing: the documents corpus concatenated in
+    doc_id order and cut into exact 256-token blocks crossing doc
+    boundaries; one row per (block, doc) span. The only corpus-wide
+    coordination is the exclusive prefix sum, computed with the two-phase
+    range-bucketed scan (never Exchange SinglePartition); the oracle's
+    SUM OVER (ORDER BY) is exactly the single-task plan that spelling
+    avoids."""
+    from powershap_spark.operators.sharding import pack_contiguous
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_contiguous(d, block_tokens=256)
+
+
 def q_bpe_merges_documents(spark, sf_dir):
     """Distributed BPE tokenizer induction (Sennrich 1508.07909): the
     first 12 merge rules learned from the documents corpus. Rows-only
@@ -1358,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "pack_contiguous_documents": q_pack_contiguous_documents,
         "token_shift_documents": q_token_shift_documents,
         "corpus_divergence_documents": q_corpus_divergence_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
@@ -1988,6 +2003,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
             )
             SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id
+        """,
+        "pack_contiguous_documents": """
+            WITH n AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+                     END AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS strt
+              FROM n),
+            e AS (
+              SELECT doc_id, n, strt,
+                     unnest(generate_series((strt // 256)::BIGINT,
+                                            ((strt + n - 1) // 256)::BIGINT)) AS block_id
+              FROM s WHERE n > 0)
+            SELECT block_id::BIGINT AS block_id, doc_id,
+                   GREATEST(block_id * 256 - strt, 0)::BIGINT AS tok_from,
+                   LEAST((block_id + 1) * 256 - strt, n)::BIGINT AS tok_to,
+                   (LEAST((block_id + 1) * 256 - strt, n)
+                    - GREATEST(block_id * 256 - strt, 0))::BIGINT AS n_span
+            FROM e
         """,
         "token_shift_documents": """
             WITH eo AS (

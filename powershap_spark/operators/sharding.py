@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_running_sum", "token_budget_shards", "pack_sequences"]
+__all__ = [
+    "global_running_sum",
+    "token_budget_shards",
+    "pack_sequences",
+    "pack_contiguous",
+]
 
 
 def global_running_sum(
@@ -207,3 +212,68 @@ def pack_sequences(
         f"{id_col} long, n_tokens long, shard_id long, bin_id long, overflow boolean"
     )
     return sharded.groupBy("shard_id").applyInPandas(_ffd, schema=out_schema)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    block_tokens: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """GPT-style contiguous sample packing: conceptually concatenate every
+    document's token stream in total ``order_col`` order and cut the
+    stream into EXACT ``block_tokens``-token blocks, crossing document
+    boundaries — the packing pretraining loaders actually use (no
+    padding, no underfull bins), complementary to ``pack_sequences``'
+    whole-document FFD (which never splits a doc). Emits one row per
+    (block, document) SPAN: ``(block_id, order_col, tok_from, tok_to,
+    n_span)`` with ``tok_from``/``tok_to`` the doc-local token range
+    [from, to) landing in that block — the loader's slice instructions.
+    Every block except the last is exactly full; empty documents emit
+    nothing.
+
+    Scale shape: the only corpus-wide coordination is the EXCLUSIVE
+    prefix sum of token counts, computed with ``global_running_sum``'s
+    two-phase range-bucketed scan (never an Exchange SinglePartition —
+    same plan contract, inherited assertion). Everything after is a pure
+    projection: a doc spanning blocks b0..b1 explodes over
+    ``sequence(b0, b1)`` (ceil(n/block_tokens)+1 rows max per doc) with
+    the span arithmetic as column expressions. Determinism: block
+    assignment is a pure function of (order key, token counts), so
+    reruns and repartitionings emit identical packs."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    from .text import token_count
+
+    L = int(block_tokens)
+    toks = df.select(
+        F.col(order_col), token_count(F.col(text_col)).alias("__n")
+    )
+    started = global_running_sum(
+        toks, "__n", order_col, out_col="__start", inclusive=False,
+        n_buckets=n_buckets,
+    )
+    nonempty = started.filter(F.col("__n") > 0)
+    b0 = F.floor(F.col("__start") / L).cast("long")
+    b1 = F.floor((F.col("__start") + F.col("__n") - 1) / L).cast("long")
+    blk = F.col("block_id")
+    tok_from = F.greatest(blk * L - F.col("__start"), F.lit(0)).cast("long")
+    tok_to = F.least(
+        (blk + 1) * L - F.col("__start"), F.col("__n").cast("long")
+    ).cast("long")
+    return (
+        nonempty.select(
+            F.col(order_col),
+            "__start",
+            "__n",
+            F.explode(F.sequence(b0, b1)).alias("block_id"),
+        )
+        .select(
+            "block_id",
+            F.col(order_col),
+            tok_from.alias("tok_from"),
+            tok_to.alias("tok_to"),
+            (tok_to - tok_from).alias("n_span"),
+        )
+    )

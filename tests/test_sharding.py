@@ -432,3 +432,73 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     m3 = write_training_shards(docs, assign, str(tmp_path / "again")).toPandas()
     assert m3.sort_values("shard_id").reset_index(drop=True).equals(
         manifest.sort_values("shard_id").reset_index(drop=True))
+
+
+def test_pack_contiguous_semantics(spark):
+    """Spark spans == a pure-python stream cut: concatenate token streams
+    in id order, cut at exact block boundaries; every block except the
+    last is exactly full; spans tile each doc; empty docs emit nothing;
+    partitioning-invariant."""
+    from powershap_spark.operators.sharding import pack_contiguous
+
+    texts = {1: "a b c d e", 2: "f g", 3: "", 4: "h i j k l m n", 5: "o"}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    L = 4
+    out = (
+        pack_contiguous(docs, block_tokens=L)
+        .toPandas()
+        .sort_values(["block_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    stream = []
+    for i in sorted(texts):
+        ts = texts[i].split() if texts[i].strip() else []
+        stream.extend((i, p) for p in range(len(ts)))
+    blocks = {}
+    for pos, (i, p) in enumerate(stream):
+        blocks.setdefault(pos // L, {}).setdefault(i, []).append(p)
+    exp = [
+        (b, i, min(ps), max(ps) + 1, len(ps))
+        for b in sorted(blocks)
+        for i, ps in sorted(blocks[b].items())
+    ]
+    assert [tuple(r) for r in out.to_numpy()] == exp
+
+    # invariants: full blocks except the last; spans tile each doc
+    per_block = out.groupby("block_id").n_span.sum()
+    assert (per_block.iloc[:-1] == L).all()
+    n_total = sum(len(t.split()) for t in texts.values() if t.strip())
+    assert per_block.sum() == n_total
+    for i, t in texts.items():
+        spans = out[out.doc_id == i].sort_values("tok_from")
+        n = len(t.split()) if t.strip() else 0
+        if n == 0:
+            assert len(spans) == 0
+            continue
+        assert spans.tok_from.iloc[0] == 0 and spans.tok_to.iloc[-1] == n
+        assert (spans.tok_from.values[1:] == spans.tok_to.values[:-1]).all()
+
+    # partitioning invariance (the prefix sum is bucket-independent)
+    out2 = (
+        pack_contiguous(docs.repartition(7), block_tokens=L, n_buckets=3)
+        .toPandas()
+        .sort_values(["block_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
+
+    # inherited plan contract: the prefix sum never funnels the corpus
+    # through one task
+    plan = (
+        pack_contiguous(docs, block_tokens=L, n_buckets=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+
+    with pytest.raises(ValueError):
+        pack_contiguous(docs, block_tokens=0)
