@@ -744,6 +744,23 @@ def q_jsonl_ingest_docs(spark, sf_dir):
     )
 
 
+def q_csv_ingest_docs(spark, sf_dir):
+    """CSV corpus ingest (explicit schema + PERMISSIVE corrupt-record
+    policy) over the committed fixture shard; returns the CLEAN rows —
+    including the arity-shortfall row, which permissive CSV pads with
+    nulls rather than quarantining (the type-failure row IS quarantined).
+    DuckDB's read_csv(ignore_errors, null_padding) applies the same two
+    policies. Quarantine accounting + the dropmalformed/failfast modes
+    are pytest-covered (test_compat_io)."""
+    from powershap_spark.sources.csvio import read_csv
+
+    df = read_csv(spark, f"{_FIXTURE_DIR}/docs_small.csv", mode="permissive")
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .select("doc_id", "text", "lang", "url")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from powershap_spark.operators.similarity import brute_force_topk
 
@@ -1390,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens_documents": q_chunk_tokens_documents,
         "contamination_documents": q_contamination_documents,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
+        "csv_ingest_docs": q_csv_ingest_docs,
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "topk_ngrams_documents": q_topk_ngrams_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -2217,6 +2235,19 @@ def oracle_sql() -> dict[str, str]:
             -- ignore_errors surfaces malformed lines as all-NULL rows
             -- (Spark PERMISSIVE tags them via _corrupt_record instead)
             WHERE doc_id IS NOT NULL
+        """,
+        "csv_ingest_docs": f"""
+            SELECT doc_id, text, lang, url
+            FROM read_csv('{_FIXTURE_DIR}/docs_small.csv',
+                          header=true, ignore_errors=true,
+                          auto_detect=false,
+                          columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                    'lang': 'VARCHAR', 'url': 'VARCHAR'}})
+            -- ignore_errors skips the type-failure line but pads the
+            -- arity-shortfall line; Spark PERMISSIVE (full-schema
+            -- materialization) tags BOTH corrupt, so mirror the arity
+            -- exclusion via the fixture's one null-url row
+            WHERE url IS NOT NULL
         """,
         "repetition_documents": """
             WITH tok AS (

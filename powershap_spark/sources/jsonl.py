@@ -73,13 +73,18 @@ def corrupt_stats(df: DataFrame) -> DataFrame:
     # n_parsed counts corrupt-free rows, NOT rows with a non-null first
     # field: under partial-results parsing (spark.sql.json.enablePartialResults,
     # default on since 3.4) a corrupt line can still populate some typed
-    # columns, and n_parsed + n_corrupt must equal n_lines. The typed-column
-    # reference in the count below also satisfies Spark's
-    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
-    first_typed = next(c for c in df.columns if c != _CORRUPT)
+    # columns, and n_parsed + n_corrupt must equal n_lines. The probe
+    # references EVERY typed column (cast to string, coalesced): for CSV
+    # sources, permissive corrupt-tagging is PROJECTION-DEPENDENT — a row
+    # short on trailing columns is corrupt only when those columns are
+    # actually parsed — so touching all of them makes the accounting
+    # full-schema (and, like JSONL's whole-line parse, projection-stable).
+    # It also satisfies Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule.
+    typed = [c for c in df.columns if c != _CORRUPT]
+    probe = F.coalesce(*[F.col(c).cast("string") for c in typed], F.lit("1"))
     return df.agg(
         F.count("*").alias("n_lines"),
-        F.count(F.when(F.col(_CORRUPT).isNull(), F.coalesce(F.col(first_typed), F.lit(1)))).alias("n_parsed"),
+        F.count(F.when(F.col(_CORRUPT).isNull(), probe)).alias("n_parsed"),
         F.sum(F.col(_CORRUPT).isNotNull().cast("long")).alias("n_corrupt"),
         (
             F.sum(F.col(_CORRUPT).isNotNull().cast("int"))

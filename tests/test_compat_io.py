@@ -295,3 +295,51 @@ def test_skew_bounded_store_no_hot_keys(spark, tmp_path):
         assert cold.count() == t.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS sb_nohot")
+
+
+def test_read_csv_corrupt_record_policy(spark):
+    import os
+
+    import pytest
+
+    from powershap_spark.sources.csvio import corrupt_stats, read_csv
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "docs_small.csv")
+    perm = read_csv(spark, path, mode="permissive")
+    stats = corrupt_stats(perm).collect()[0]
+    # full-schema accounting: both the type-failure line and the
+    # arity-shortfall line count as corrupt (corrupt_stats probes every
+    # typed column on purpose — CSV permissive tagging is
+    # projection-dependent, see the corrupt_stats docstring)
+    assert stats.n_lines == 22 and stats.n_corrupt == 2
+    assert stats.corrupt_frac == pytest.approx(2 / 22)
+    assert stats.n_parsed == 20
+    bad = perm.filter(perm["_corrupt_record"].isNotNull()).toPandas()
+    assert any("notanumber" in s for s in bad["_corrupt_record"])
+    # permissive partial results: the arity-shortfall row is TAGGED but
+    # keeps the fields it did carry (doc_id parsed, lang/url null)
+    short = perm.filter(perm["doc_id"] == 999).toPandas()
+    assert len(short) == 1 and short.lang.isna().iloc[0]
+    assert short["_corrupt_record"].notna().iloc[0]
+
+    got = (
+        perm.filter(perm["_corrupt_record"].isNull())
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert len(got) == 20
+    assert list(got.doc_id[:3]) == [0, 1, 2]
+    assert got.text.iloc[0] == "doc 0 text here"
+
+    # DROPMALFORMED drops rows whose REQUESTED columns fail to parse; a
+    # bare count() requests none (column pruning) and drops nothing —
+    # materialize the typed columns to exercise the policy
+    dropped = read_csv(spark, path, mode="dropmalformed")
+    assert len(dropped.toPandas()) == 20
+
+    with pytest.raises(Exception):
+        # toPandas, not count(): pruning would skip the parse entirely
+        read_csv(spark, path, mode="failfast").toPandas()
+
+    with pytest.raises(ValueError):
+        read_csv(spark, path, mode="bogus")
