@@ -761,6 +761,23 @@ def q_csv_ingest_docs(spark, sf_dir):
     )
 
 
+def q_warc_ingest_docs(spark, sf_dir):
+    """WARC (Common Crawl container) ingest over the committed fixture
+    shard: splittable lineSep record splitting + JVM-regex header
+    extraction + Content-Length payload slicing; returns the PARSED
+    records (the malformed one is quarantined — pytest-covered with the
+    false-split trap). The DuckDB oracle re-implements the same
+    delimiter-split + header-regex + slice pipeline over read_text, so
+    the value-green row pins the full parse, payload bytes included."""
+    from powershap_spark.sources.warc import read_warc
+
+    df = read_warc(spark, f"{_FIXTURE_DIR}/docs_small.warc")
+    return df.filter(~F.col("_warc_malformed")).select(
+        "warc_type", "target_uri", "warc_date", "record_id",
+        "content_length", "payload",
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from powershap_spark.operators.similarity import brute_force_topk
 
@@ -1408,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "jsonl_ingest_docs": q_jsonl_ingest_docs,
         "csv_ingest_docs": q_csv_ingest_docs,
+        "warc_ingest_docs": q_warc_ingest_docs,
         "url_canonicalize_documents": q_url_canonicalize_documents,
         "topk_ngrams_documents": q_topk_ngrams_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -2248,6 +2266,41 @@ def oracle_sql() -> dict[str, str]:
             -- materialization) tags BOTH corrupt, so mirror the arity
             -- exclusion via the fixture's one null-url row
             WHERE url IS NOT NULL
+        """,
+        "warc_ingest_docs": f"""
+            WITH raw AS (
+              SELECT content FROM read_text('{_FIXTURE_DIR}/docs_small.warc')),
+            recs AS (
+              SELECT unnest(string_split(
+                       regexp_replace(content, '^WARC/1\\.0\\r\\n', ''),
+                       e'\\r\\n\\r\\nWARC/1.0\\r\\n')) AS rec
+              FROM raw),
+            p AS (
+              SELECT rec,
+                     CASE WHEN position(e'\\r\\n\\r\\n' IN rec) > 0
+                          THEN substr(rec, 1, position(e'\\r\\n\\r\\n' IN rec) - 1)
+                          ELSE rec END AS header,
+                     CASE WHEN position(e'\\r\\n\\r\\n' IN rec) > 0
+                          THEN substr(rec, position(e'\\r\\n\\r\\n' IN rec) + 4)
+                          ELSE '' END AS payload
+              FROM recs),
+            f AS (
+              SELECT
+                NULLIF(regexp_extract(header, '(?mi)^WARC-Type:[ \\t]*(.*?)\\r?$', 1), '') AS warc_type,
+                NULLIF(regexp_extract(header, '(?mi)^WARC-Target-URI:[ \\t]*(.*?)\\r?$', 1), '') AS target_uri,
+                NULLIF(regexp_extract(header, '(?mi)^WARC-Date:[ \\t]*(.*?)\\r?$', 1), '') AS warc_date,
+                NULLIF(regexp_extract(header, '(?mi)^WARC-Record-ID:[ \\t]*(.*?)\\r?$', 1), '') AS record_id,
+                TRY_CAST(NULLIF(regexp_extract(header, '(?mi)^Content-Length:[ \\t]*(.*?)\\r?$', 1), '') AS BIGINT) AS content_length,
+                payload
+              FROM p)
+            SELECT warc_type, target_uri, warc_date, record_id,
+                   content_length,
+                   substr(payload, 1, content_length::INT) AS payload
+            FROM f
+            WHERE warc_type IS NOT NULL
+              AND content_length IS NOT NULL
+              AND length(payload) >= content_length
+              AND length(payload) <= content_length + 4
         """,
         "repetition_documents": """
             WITH tok AS (

@@ -343,3 +343,46 @@ def test_read_csv_corrupt_record_policy(spark):
 
     with pytest.raises(ValueError):
         read_csv(spark, path, mode="bogus")
+
+
+def test_read_warc_parse_and_quarantine(spark, tmp_path):
+    import os
+
+    from powershap_spark.sources.warc import read_warc, warc_stats
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "docs_small.warc")
+    df = read_warc(spark, path)
+    pdf = df.toPandas().reset_index(drop=True)
+    assert len(pdf) == 6
+    ok = pdf[~pdf._warc_malformed]
+    assert list(ok.warc_type) == [
+        "warcinfo", "response", "response", "conversion", "request",
+    ]
+    # payload sliced to EXACTLY Content-Length (record trailers excluded)
+    assert (ok.payload.str.len() == ok.content_length).all()
+    assert ok[ok.target_uri == "https://example.com/a"].payload.iloc[0] == (
+        "<html>hello world</html>"
+    )
+    # header extraction
+    assert ok.record_id.str.startswith("<urn:uuid:").all()
+    assert pdf[pdf._warc_malformed].payload.str.contains("GARBAGE").all()
+
+    stats = warc_stats(df).collect()[0]
+    assert (stats.n_records, stats.n_parsed, stats.n_malformed) == (6, 5, 1)
+    assert stats.payload_bytes == int(ok.content_length.sum())
+
+    # false-split trap: a payload CONTAINING the record delimiter splits
+    # into two rows, and BOTH are quarantined (length mismatch / missing
+    # headers) rather than silently mis-attributed
+    trap_payload = "before\r\n\r\nWARC/1.0\r\nafter"
+    trap = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:t>\r\n"
+        f"Content-Length: {len(trap_payload)}\r\n"
+        "\r\n" + trap_payload + "\r\n\r\n"
+    )
+    p = tmp_path / "trap.warc"
+    p.write_bytes(trap.encode())
+    tp = read_warc(spark, str(p)).toPandas()
+    assert len(tp) == 2 and tp._warc_malformed.all()
