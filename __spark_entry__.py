@@ -747,11 +747,13 @@ def q_jsonl_ingest_docs(spark, sf_dir):
 def q_csv_ingest_docs(spark, sf_dir):
     """CSV corpus ingest (explicit schema + PERMISSIVE corrupt-record
     policy) over the committed fixture shard; returns the CLEAN rows —
-    including the arity-shortfall row, which permissive CSV pads with
-    nulls rather than quarantining (the type-failure row IS quarantined).
-    DuckDB's read_csv(ignore_errors, null_padding) applies the same two
-    policies. Quarantine accounting + the dropmalformed/failfast modes
-    are pytest-covered (test_compat_io)."""
+    under full-schema materialization permissive tags BOTH the
+    type-failure line and the arity-shortfall line corrupt (the short
+    row keeps its parsed fields but carries _corrupt_record), so the
+    clean set excludes both. The DuckDB oracle mirrors that with
+    ignore_errors (skips the type failure) + the fixture's one null-url
+    row filtered (the padded arity row). Quarantine accounting and the
+    dropmalformed/failfast modes are pytest-covered (test_compat_io)."""
     from powershap_spark.sources.csvio import read_csv
 
     df = read_csv(spark, f"{_FIXTURE_DIR}/docs_small.csv", mode="permissive")
@@ -2295,12 +2297,20 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT warc_type, target_uri, warc_date, record_id,
                    content_length,
-                   substr(payload, 1, content_length::INT) AS payload
+                   -- Content-Length is BYTES (strlen); DuckDB lacks blob
+                   -- substring, but the surplus past Content-Length is
+                   -- always the ASCII record trailer, so trimming
+                   -- surplus-many CHARACTERS is byte-exact here
+                   CASE WHEN strlen(payload) = content_length THEN payload
+                        ELSE substr(payload, 1,
+                               length(payload)
+                               - (strlen(payload) - content_length)::INT)
+                   END AS payload
             FROM f
             WHERE warc_type IS NOT NULL
               AND content_length IS NOT NULL
-              AND length(payload) >= content_length
-              AND length(payload) <= content_length + 4
+              AND strlen(payload) >= content_length
+              AND strlen(payload) <= content_length + 4
         """,
         "repetition_documents": """
             WITH tok AS (

@@ -244,17 +244,24 @@ def pack_contiguous(
     reruns and repartitionings emit identical packs."""
     if block_tokens < 1:
         raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    reserved = {"block_id", "tok_from", "tok_to", "n_span", "__start", "__n"}
+    if order_col in reserved:
+        raise ValueError(
+            f"order_col {order_col!r} collides with an output/internal column"
+        )
     from .text import token_count
 
     L = int(block_tokens)
+    # filter empty docs BEFORE the prefix sum: zero-token rows cannot
+    # change an exclusive prefix sum for the surviving rows, and dropping
+    # them first keeps them out of the boundary estimation + window sort
     toks = df.select(
         F.col(order_col), token_count(F.col(text_col)).alias("__n")
-    )
-    started = global_running_sum(
+    ).filter(F.col("__n") > 0)
+    nonempty = global_running_sum(
         toks, "__n", order_col, out_col="__start", inclusive=False,
         n_buckets=n_buckets,
     )
-    nonempty = started.filter(F.col("__n") > 0)
     b0 = F.floor(F.col("__start") / L).cast("long")
     b1 = F.floor((F.col("__start") + F.col("__n") - 1) / L).cast("long")
     blk = F.col("block_id")

@@ -8,8 +8,10 @@ Built on ``spark.read.csv``; the parse is JVM-side Univocity inside
 whole-stage codegen — no Python. ``multiLine`` stays OFF by default: a
 multiline-quoted CSV file is NOT splittable (one task per file at any
 cluster size), so documents with embedded newlines belong in JSONL or
-parquet, not CSV — the reader raises unless the caller explicitly
-accepts that cost.
+parquet, not CSV — ``multi_line=True`` is the explicit opt-in for that
+cost, and with it off a quoted embedded newline splits the record
+mid-field (the halves are quarantined/dropped by the corrupt policy,
+they do not mis-parse silently into wrong columns).
 
 Shares ``corrupt_stats`` semantics with the JSONL source (same
 quarantine summary over the ``_corrupt_record`` column).
@@ -20,11 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .jsonl import DOCUMENT_SCHEMA, corrupt_stats  # noqa: F401  (re-export)
+from .jsonl import (  # noqa: F401  (corrupt_stats/DOCUMENT_SCHEMA re-exported)
+    _CORRUPT,
+    DOCUMENT_SCHEMA,
+    _validated_mode_and_schema,
+    corrupt_stats,
+)
 
 __all__ = ["read_csv", "corrupt_stats", "DOCUMENT_SCHEMA"]
-
-_CORRUPT = "_corrupt_record"
 
 
 def read_csv(
@@ -42,12 +47,7 @@ def read_csv(
     ``_corrupt_record`` (null for clean rows). ``multi_line=True`` must
     be opted into explicitly: it makes files unsplittable (one task per
     file), which is almost never the right trade at corpus scale."""
-    mode = mode.lower()
-    if mode not in ("permissive", "dropmalformed", "failfast"):
-        raise ValueError(f"unknown mode {mode!r}")
-    s = schema
-    if mode == "permissive" and _CORRUPT not in s.fieldNames():
-        s = T.StructType(list(s.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    s, mode = _validated_mode_and_schema(schema, mode)
     return (
         spark.read.schema(s)
         .option("mode", mode.upper())

@@ -38,6 +38,21 @@ DOCUMENT_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt_record"
 
 
+def _validated_mode_and_schema(
+    schema: T.StructType, mode: str
+) -> tuple[T.StructType, str]:
+    """Shared corrupt-policy plumbing for the line-oriented sources
+    (JSONL/CSV): validate the mode and, in permissive mode, append the
+    ``_corrupt_record`` column to the schema."""
+    mode = mode.lower()
+    if mode not in ("permissive", "dropmalformed", "failfast"):
+        raise ValueError(f"unknown mode {mode!r}")
+    s = schema
+    if mode == "permissive" and _CORRUPT not in s.fieldNames():
+        s = T.StructType(list(s.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    return s, mode
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -47,12 +62,7 @@ def read_jsonl(
     """Read newline-delimited JSON with an explicit schema + corrupt-record
     policy. In permissive mode the returned frame carries the raw offending
     line in ``_corrupt_record`` (null for clean rows)."""
-    mode = mode.lower()
-    if mode not in ("permissive", "dropmalformed", "failfast"):
-        raise ValueError(f"unknown mode {mode!r}")
-    s = schema
-    if mode == "permissive" and _CORRUPT not in s.fieldNames():
-        s = T.StructType(list(s.fields) + [T.StructField(_CORRUPT, T.StringType())])
+    s, mode = _validated_mode_and_schema(schema, mode)
     return (
         spark.read.schema(s)
         .option("mode", mode.upper())

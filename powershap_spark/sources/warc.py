@@ -63,12 +63,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     warc_type = hfield("WARC-Type")
     content_length = hfield("Content-Length").cast("long")
+    # Content-Length is OCTETS (ISO 28500), not characters: validate and
+    # slice on the UTF-8 byte representation — F.length/F.substring on
+    # the string would mis-validate every non-ASCII payload (most of a
+    # real web crawl) and could leak trailer bytes into the parsed text.
+    pbytes = F.encode(payload, "UTF-8")
+    blen = F.octet_length(payload)
     # trailing record separators the split consumed are not part of the
     # payload; tolerate the final record's retained trailer (<= 4 bytes)
     length_ok = (
         content_length.isNotNull()
-        & (F.length(payload) >= content_length)
-        & (F.length(payload) <= content_length + 4)
+        & (blen >= content_length)
+        & (blen <= content_length + 4)
     )
     malformed = warc_type.isNull() | ~F.coalesce(length_ok, F.lit(False))
     return raw.select(
@@ -81,7 +87,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .otherwise(
             F.when(
                 content_length.isNotNull(),
-                F.substring(payload, 1, content_length),
+                F.decode(F.substring(pbytes, 1, content_length), "UTF-8"),
             ).otherwise(payload)
         )
         .alias("payload"),
@@ -103,7 +109,7 @@ def warc_stats(df: DataFrame) -> DataFrame:
         (F.sum(bad) / F.greatest(F.count("*"), F.lit(1)))
         .cast("double")
         .alias("malformed_frac"),
-        F.sum(F.when(bad == 0, F.length("payload")).otherwise(0)).alias(
+        F.sum(F.when(bad == 0, F.octet_length("payload")).otherwise(0)).alias(
             "payload_bytes"
         ),
     )

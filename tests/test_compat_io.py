@@ -358,11 +358,18 @@ def test_read_warc_parse_and_quarantine(spark, tmp_path):
     assert list(ok.warc_type) == [
         "warcinfo", "response", "response", "conversion", "request",
     ]
-    # payload sliced to EXACTLY Content-Length (record trailers excluded)
-    assert (ok.payload.str.len() == ok.content_length).all()
+    # payload sliced to EXACTLY Content-Length in BYTES (ISO 28500:
+    # Content-Length is octets — character-based validation would reject
+    # every non-ASCII payload); record trailers excluded
+    assert (
+        ok.payload.map(lambda s: len(s.encode())) == ok.content_length
+    ).all()
     assert ok[ok.target_uri == "https://example.com/a"].payload.iloc[0] == (
         "<html>hello world</html>"
     )
+    # the non-ASCII record round-trips byte-exactly (19 chars, 27 bytes)
+    utf8 = ok[ok.target_uri == "https://example.com/utf8"].payload.iloc[0]
+    assert utf8 == "café élève naïve 中文" and len(utf8.encode()) == 27
     # header extraction
     assert ok.record_id.str.startswith("<urn:uuid:").all()
     assert pdf[pdf._warc_malformed].payload.str.contains("GARBAGE").all()

@@ -502,3 +502,6 @@ def test_pack_contiguous_semantics(spark):
 
     with pytest.raises(ValueError):
         pack_contiguous(docs, block_tokens=0)
+    with pytest.raises(ValueError):
+        pack_contiguous(docs.withColumnRenamed("doc_id", "block_id"),
+                        block_tokens=4, order_col="block_id")
