@@ -719,6 +719,56 @@ def q_url_canonicalize_documents(spark, sf_dir):
     return d.select("doc_id", "url", canonicalize_url("url").alias("canonical_url"))
 
 
+def _inject_html_expr():
+    """Deterministic HTML page wrapped around documents.text (entity-
+    escaped), with the boilerplate a real crawl page carries: head with
+    title/script/style, a comment, a nav list, a heading, the content
+    paragraph, a table, a footer. The DuckDB oracle rebuilds the SAME
+    string (see _html_extract_oracle_sql)."""
+    esc = F.col("text")
+    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), i,
+        F.lit("</title><script>var x = 1;</script>"
+              "<style>.nav{color:red}</style></head><body>"),
+        F.lit("<!-- nav boilerplate --><div class=\"nav\"><ul><li>Home</li>"
+              "<li>About</li><li>Contact</li></ul></div>"),
+        F.lit("<h1>Document "), i, F.lit(" heading</h1><p>"), esc,
+        F.lit("</p><br><table><tr><td>k</td><td>v</td></tr></table>"),
+        F.lit("<footer>&copy; 2026 Example &amp; Co. All rights reserved."
+              "</footer></body></html>"),
+    )
+
+
+def q_html_extract_documents(spark, sf_dir):
+    """HTML -> visible-text extraction (the CCNet/RefinedWeb step between
+    WARC ingest and the text pipeline) over deterministically injected
+    full pages: script/style/comment/head dropped, block tags -> line
+    breaks, entities decoded, short boilerplate lines (< 3 words: nav
+    items, table cells) filtered. Pure JVM regexp/array expressions — a
+    100-TB extraction is one mapper pass fused with the WARC parse. The
+    DuckDB oracle rebuilds the same page and applies the SAME rewrite
+    literals (HTML_BLOCK_DROP/HTML_NEWLINE_TAGS/HTML_ANY_TAG/
+    HTML_ENTITIES), pinning the extraction byte-for-byte."""
+    from powershap_spark.operators.scrub import extract_html_text
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", _inject_html_expr().alias("html")
+    )
+    out = d.select("doc_id", extract_html_text("html").alias("text"))
+    return out.select(
+        "doc_id",
+        "text",
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("text"), "\n")))
+        .cast("int")
+        .alias("n_lines"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 def q_topk_ngrams_documents(spark, sf_dir):
     """Corpus-level boilerplate mining: the 20 most frequent word bigrams
     with occurrence counts (map-side-combined aggregation + global top-k,
@@ -1429,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest_docs": q_csv_ingest_docs,
         "warc_ingest_docs": q_warc_ingest_docs,
         "url_canonicalize_documents": q_url_canonicalize_documents,
+        "html_extract_documents": q_html_extract_documents,
         "topk_ngrams_documents": q_topk_ngrams_documents,
         "lang_id_documents": q_lang_id_documents,
         "quality_score_documents": q_quality_score_documents,
@@ -1835,6 +1886,61 @@ def _url_canonicalize_oracle_sql() -> str:
     return f"""
         WITH x AS (SELECT doc_id, {inject} AS url FROM documents)
         SELECT doc_id, url, {canon} AS canonical_url FROM x
+    """
+
+
+def _html_extract_oracle_sql() -> str:
+    """Mirrors q_html_extract_documents: identical page construction from
+    documents.text, then the SAME extraction-chain literals
+    (HTML_BLOCK_DROP / HTML_NEWLINE_TAGS / HTML_ANY_TAG / HTML_ENTITIES)
+    and the same min_words=3 line filter."""
+    from powershap_spark.operators.scrub import (
+        HTML_ANY_TAG,
+        HTML_BLOCK_DROP,
+        HTML_ENTITIES,
+        HTML_NEWLINE_TAGS,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    html = (
+        "'<html><head><title>Doc ' || doc_id"
+        " || '</title><script>var x = 1;</script>"
+        "<style>.nav{color:red}</style></head><body>'"
+        " || '<!-- nav boilerplate --><div class=\"nav\"><ul><li>Home</li>"
+        "<li>About</li><li>Contact</li></ul></div>'"
+        " || '<h1>Document ' || doc_id || ' heading</h1><p>' || " + esc +
+        " || '</p><br><table><tr><td>k</td><td>v</td></tr></table>'"
+        " || '<footer>&copy; 2026 Example &amp; Co. All rights reserved."
+        "</footer></body></html>'"
+    )
+    x = "html"
+    for pat in HTML_BLOCK_DROP:
+        x = f"regexp_replace({x}, '{q(pat)}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{q(HTML_NEWLINE_TAGS)}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{q(HTML_ANY_TAG)}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        x = f"replace({x}, '{q(ent)}', '{q(ch)}')"
+    x = (
+        "array_to_string(list_filter(list_transform("
+        f"string_split({x}, chr(10)), "
+        "ln -> trim(regexp_replace(ln, '\\s+', ' ', 'g'))), "
+        "ln -> length(ln) > 0 AND len(string_split(ln, ' ')) >= 3), "
+        "chr(10))"
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+             e AS (SELECT doc_id, {x} AS text FROM h)
+        SELECT doc_id, text,
+               (CASE WHEN length(text) = 0 THEN 0
+                     ELSE len(string_split(text, chr(10))) END)::INT AS n_lines,
+               length(text)::INT AS n_chars
+        FROM e
     """
 
 
@@ -2246,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_documents": _pii_scrub_oracle_sql(),
         "curation_pipeline_documents": _curation_oracle_sql(),
         "url_canonicalize_documents": _url_canonicalize_oracle_sql(),
+        "html_extract_documents": _html_extract_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
             FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',

@@ -21,9 +21,14 @@ __all__ = [
     "PII_PATTERNS",
     "URL_SCHEME_HOST",
     "URL_CANON_STEPS",
+    "HTML_BLOCK_DROP",
+    "HTML_NEWLINE_TAGS",
+    "HTML_ANY_TAG",
+    "HTML_ENTITIES",
     "scrub_pii",
     "pii_counts",
     "canonicalize_url",
+    "extract_html_text",
 ]
 
 # URL canonicalization rewrite chain, applied in order after the
@@ -46,6 +51,77 @@ URL_CANON_STEPS = [
     (r"^(https://[^/?:]+):443([/?].*)?$", r"$1$2"),
     (r"(://[^/?#]+/.+?)/$", r"$1"),  # trailing slash on non-root path
 ]
+
+# HTML -> text extraction rewrite chain (CCNet/RefinedWeb-style
+# boilerplate stripping, heuristic not DOM-aware). Same Java/RE2-shared
+# syntax subset as URL_CANON_STEPS so the DuckDB oracle replicates the
+# extraction byte-for-byte. Applied in list order BEFORE the newline/tag
+# passes: non-content blocks (script/style/comments/head) vanish whole.
+HTML_BLOCK_DROP = [
+    r"(?is)<script\b.*?</script\s*>",
+    r"(?is)<style\b.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?is)<head\b.*?</head\s*>",
+]
+# Block-level boundaries become newlines so line-level filtering (and any
+# downstream line dedup, dedup_lines) sees the document's visual structure.
+HTML_NEWLINE_TAGS = (
+    r"(?i)<(?:br|hr)\s*/?\s*>"
+    r"|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote|pre|title"
+    r"|section|article|header|footer|nav|aside)\s*>"
+)
+HTML_ANY_TAG = r"(?s)<[^>]*>"
+# Fixed named-entity set, plain string replaces (identical semantics in
+# Spark `replace` and DuckDB `replace`); `&amp;` is decoded LAST so
+# `&amp;lt;` correctly yields the literal text `&lt;`, not `<`.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def extract_html_text(col, min_words: int = 3) -> "F.Column":
+    """Visible text from an HTML payload — the step between WARC ingest
+    (``sources/warc.py``) and the text pipeline (scrub -> lang_id ->
+    quality -> dedup), i.e. the CCNet/RefinedWeb extraction stage:
+
+    - script/style/comment/head blocks dropped whole;
+    - block-level tag boundaries -> newlines, remaining tags -> spaces;
+    - the six universal named entities decoded (``&amp;`` last);
+    - per line: whitespace collapsed + trimmed, then short boilerplate
+      lines (fewer than ``min_words`` whitespace-separated words — nav
+      items, button labels, table cells) dropped, RefinedWeb-style.
+
+    Pure built-in expressions (regexp_replace / replace / split /
+    transform / filter / array_join): whole-stage codegen, per-row, no
+    shuffle — a 100-TB extraction is a single mapper pass fused with the
+    WARC record parse it follows. Java/RE2-shared regex subset only (no
+    lookaround, no backrefs; ``\\s`` divergence on vertical-tab is the
+    one documented gap), so the DuckDB oracle mirrors the chain exactly.
+    Deliberately heuristic: a DOM/readability extractor plugs in behind
+    the same column contract if fidelity beats throughput."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in HTML_BLOCK_DROP:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, HTML_NEWLINE_TAGS, "\n")
+    c = F.regexp_replace(c, HTML_ANY_TAG, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    lines = F.transform(
+        F.split(c, "\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"\s+", " ")),
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(ln) > 0)
+        & (F.size(F.split(ln, " ")) >= F.lit(min_words)),
+    )
+    return F.array_join(kept, "\n")
+
 
 # Ordered: URLs first (an email-shaped substring inside a URL should be
 # redacted as part of the URL, not leave a dangling "<EMAIL>" mid-token).

@@ -123,3 +123,72 @@ def test_curate_no_scrub_dedups_injected_duplicates(spark):
     n_injected = d.filter(F.pmod("doc_id", F.lit(5)) == 0).count()
     assert n_injected > 1 and len(boiler) == 1
     assert boiler[0].doc_id == 0  # min id representative
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (operators/scrub.py: extract_html_text)
+
+
+def test_html_extract_strips_boilerplate_and_decodes_entities(spark):
+    from powershap_spark.operators.scrub import extract_html_text
+
+    page = (
+        "<html><head><title>T</title>"
+        "<script type='x'>var a = '<p>not text</p>';</script>"
+        "<STYLE>.c { color: red }</STYLE></head>"
+        "<body><!-- comment\nwith newline -->"
+        "<div class='nav'><ul><li>Home</li><li>About</li></ul></div>"
+        "<h1>A real heading here</h1>"
+        "<p>First&nbsp;paragraph with &quot;quotes&quot; &amp; ampersand.</p>"
+        "<p>Tom &#39;s 1 &lt; 2 &gt; 0 claim</p>"
+        "<br/><table><tr><td>cell</td></tr></table>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "html string")
+    out = df.select(extract_html_text("html").alias("t")).collect()[0].t
+    assert out == (
+        "A real heading here\n"
+        'First paragraph with "quotes" & ampersand.\n'
+        "Tom 's 1 < 2 > 0 claim"
+    )
+    # script/style/comment content never leaks
+    assert "not text" not in out and "color" not in out and "comment" not in out
+
+
+def test_html_extract_entity_order_and_min_words(spark):
+    from powershap_spark.operators.scrub import extract_html_text
+
+    df = spark.createDataFrame(
+        [("<p>literal &amp;lt; stays escaped here</p>",), ("<p>too short</p>",)],
+        "html string",
+    )
+    got = [r.t for r in df.select(extract_html_text("html").alias("t")).collect()]
+    # &amp;lt; decodes to the literal text "&lt;" (NOT to "<"): &amp; last
+    assert got[0] == "literal &lt; stays escaped here"
+    # a 2-word line is dropped at the default min_words=3 -> empty doc
+    assert got[1] == ""
+    loose = [
+        r.t
+        for r in df.select(extract_html_text("html", min_words=2).alias("t")).collect()
+    ]
+    assert loose[1] == "too short"
+
+
+def test_html_extract_composes_with_warc_ingest(spark):
+    """The Common Crawl chain end-to-end: WARC records -> response
+    payloads -> visible text."""
+    import os
+
+    from powershap_spark.operators.scrub import extract_html_text
+    from powershap_spark.sources.warc import read_warc
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "docs_small.warc")
+    out = (
+        read_warc(spark, path)
+        .filter(~F.col("_warc_malformed") & (F.col("warc_type") == "response"))
+        .select("target_uri", extract_html_text("payload", min_words=2).alias("t"))
+        .orderBy("target_uri")
+        .collect()
+    )
+    texts = {r.target_uri: r.t for r in out}
+    assert texts["https://example.com/a"] == "hello world"
