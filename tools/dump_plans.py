@@ -196,6 +196,59 @@ def main():
             )
         )
 
+    sections.append(
+        (
+            "WARC ingest (splittable lineSep text scan, all-JVM header "
+            "regex + byte-exact payload slice — no Python, no shuffle)",
+            plan_of(em.q_warc_ingest_docs(spark, sf)),
+        )
+    )
+    sections.append(
+        (
+            "HTML -> text extraction (regexp/array built-ins only: one "
+            "scan, zero Exchange, no Python stage)",
+            plan_of(em.q_html_extract_documents(spark, sf)),
+        )
+    )
+
+    # quality-classifier training epoch: the same zero-per-epoch-Exchange
+    # contract as the selection batch — grouped-map UDF reading the
+    # post-shuffle InMemory scan directly
+    from powershap_spark.operators.classifier import (
+        _grad_schema,
+        featurize_hashed,
+        partial_grad,
+    )
+
+    feat = featurize_hashed(
+        d6.select("doc_id", "text", F.lit(1).alias("label")),
+        label_col="label", dim=256, n_parts=4,
+    )
+    fsrc = (
+        feat.repartition(4, "part_id")
+        .sortWithinPartitions("part_id", "doc_id")
+        .persist()
+    )
+    fsrc.count()
+    wz = np.zeros(257)
+
+    def _epoch_fn(key, pdf):
+        g, lo, n = partial_grad(pdf, wz, 256)
+        return pd.DataFrame(
+            {"part_id": [int(key[0])], "grad": [g.tolist()],
+             "loss": [lo], "n": [n]}
+        )
+
+    sections.append(
+        (
+            "quality-classifier training epoch (grouped-map gradient "
+            "partials over the post-shuffle cached features: zero new "
+            "Exchange per epoch)",
+            plan_of(fsrc.groupBy("part_id").applyInPandas(_epoch_fn, _grad_schema(256))),
+        )
+    )
+    fsrc.unpersist()
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plans (explain 'formatted') — pushdown / broadcast /"
