@@ -470,6 +470,23 @@ def q_deterministic_sample_documents(spark, sf_dir):
     return deterministic_sample(d, "doc_id", 0.25, seed=7, hash_family="poly")
 
 
+def q_shuffle_shards_documents(spark, sf_dir):
+    """Reproducible global training-order shuffle: every doc gets a
+    (shard, pos) pair that is a pure function of (doc_id, seed) — the
+    epoch permutation a data loader consumes, identical across reruns
+    and cluster sizes (df.orderBy(rand()) is neither). pos is a window
+    PARTITIONED BY shard (parallel across shards), never the
+    Exchange-SinglePartition funnel a naive global orderBy+row_number
+    would plan. Poly hash family so the DuckDB oracle reproduces the
+    exact permutation from the same affine literals."""
+    from powershap_spark.operators.sharding import deterministic_shuffle_shards
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle_shards(
+        d, "doc_id", n_shards=8, seed=11, hash_family="poly"
+    )
+
+
 def q_stratified_sample_documents(spark, sf_dir):
     """Corpus mixing: per-language deterministic sampling rates in one
     filter pass (en kept at 50%, de at 15%, everything else at 5%) — the
@@ -1505,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shift_documents": q_token_shift_documents,
         "corpus_divergence_documents": q_corpus_divergence_documents,
         "deterministic_sample_documents": q_deterministic_sample_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "quota_sample_documents": q_quota_sample_documents,
         "token_budget_shards_documents": q_token_budget_shards_documents,
@@ -1904,6 +1922,29 @@ def _curation_oracle_sql() -> str:
                n_url, n_email, n_ipv4, n_phone, ts AS text_scrubbed
         FROM ph
         WHERE (({a_l[0]} * h + {b_l[0]}) % {POLY_MOD}) / {POLY_MOD}.0 < 0.5
+    """
+
+
+def _shuffle_shards_oracle_sql() -> str:
+    """Mirrors q_shuffle_shards_documents: same poly char hash + affine
+    literals (affine_params(1, seed=11)), shard = h % 8, pos = per-shard
+    row_number ordered by (h, doc_id)."""
+    from powershap_spark.operators.dedup import POLY_MOD, affine_params
+
+    a_l, b_l = affine_params(1, 11)
+    ph = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "[unicode(c) FOR c IN regexp_extract_all(CAST(doc_id AS VARCHAR), '.')]), "
+        f"(acc, x) -> (acc * 31 + x) % {POLY_MOD})"
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 ({a_l[0]} * {ph} + {b_l[0]}) % {POLY_MOD} AS h
+          FROM documents)
+        SELECT doc_id, (h % 8)::INT AS shard,
+               (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id))::INT AS pos
+        FROM p
     """
 
 
@@ -2396,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_documents": _curation_oracle_sql(),
         "url_canonicalize_documents": _url_canonicalize_oracle_sql(),
         "html_extract_documents": _html_extract_oracle_sql(),
+        "shuffle_shards_documents": _shuffle_shards_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
             FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',

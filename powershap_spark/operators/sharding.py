@@ -35,7 +35,59 @@ __all__ = [
     "token_budget_shards",
     "pack_sequences",
     "pack_contiguous",
+    "deterministic_shuffle_shards",
 ]
+
+
+def deterministic_shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 7,
+    hash_family: str = "xxhash",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global training-order shuffle: assign every row a
+    ``(shard, pos)`` pair that is a pure function of ``(key, seed,
+    n_shards)`` — the shuffled epoch order a data loader consumes (read
+    shards in index order, rows by pos), identical across reruns,
+    partitionings, and cluster sizes, unlike ``df.orderBy(rand())``
+    (layout-dependent RNG) or ``rand()``-keyed sorts (not resumable).
+
+    shard = pmod(hash(key, seed), n_shards); pos = row_number over a
+    window PARTITIONED BY shard ordered by (hash, key) — parallel across
+    shards, never an ``Exchange SinglePartition`` funnel (the global sort
+    a naive ``orderBy(hash)`` + row_number would plan). One shuffle on
+    the shard key, bounded per-task state. Changing the seed is a new
+    epoch permutation; the key tie-break makes duplicate hash values
+    deterministic.
+
+    hash_family="xxhash" is the scale path; "poly" uses the affine
+    polynomial char-hash family so the DuckDB oracle reproduces the
+    exact permutation (key stringified for the char hash)."""
+    from .dedup import POLY_MOD, _poly_char_hash, affine_params
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.col(key_col)
+    if hash_family == "xxhash":
+        h: Column = F.xxhash64(k, F.lit(seed))
+    elif hash_family == "poly":
+        a_l, b_l = affine_params(1, seed)
+        h = F.pmod(
+            a_l[0] * _poly_char_hash(k.cast("string")) + b_l[0],
+            F.lit(POLY_MOD),
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), k)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(shard_col, F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__h")
+    )
 
 
 def global_running_sum(

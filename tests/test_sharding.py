@@ -505,3 +505,53 @@ def test_pack_contiguous_semantics(spark):
     with pytest.raises(ValueError):
         pack_contiguous(docs.withColumnRenamed("doc_id", "block_id"),
                         block_tokens=4, order_col="block_id")
+
+
+def test_deterministic_shuffle_shards_properties(spark):
+    from powershap_spark.operators.sharding import deterministic_shuffle_shards
+
+    d = spark.range(500).withColumnRenamed("id", "doc_id")
+
+    def run(df, **kw):
+        return (
+            deterministic_shuffle_shards(df, "doc_id", n_shards=8, seed=11, **kw)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(d)
+    # partition-invariance: same permutation from any physical layout
+    assert run(d.repartition(13)).equals(out)
+    assert run(d.coalesce(1)).equals(out)
+    # (shard, pos) is a total order: per shard positions are exactly 1..n
+    for _, g in out.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    assert len(out) == 500 and out.doc_id.nunique() == 500
+    # a different seed is a different epoch permutation
+    other = (
+        deterministic_shuffle_shards(d, "doc_id", n_shards=8, seed=12)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not other[["shard", "pos"]].equals(out[["shard", "pos"]])
+    # poly family: same structure (different permutation is fine)
+    pol = run(d, hash_family="poly")
+    for _, g in pol.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+
+    # scale contract: the pos window partitions by shard — the plan never
+    # funnels the corpus through one task
+    plan = (
+        deterministic_shuffle_shards(d, "doc_id", n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle_shards(d, "doc_id", n_shards=0)
+    with pytest.raises(ValueError):
+        deterministic_shuffle_shards(d, "doc_id", n_shards=8, hash_family="nope")
