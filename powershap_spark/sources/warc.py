@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "warc_stats"]
+__all__ = ["read_warc", "read_warc_stream", "warc_stats"]
 
 _SEP = "\r\n\r\nWARC/1.0\r\n"
 
@@ -46,7 +46,22 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     flagged malformed when it lacks a ``WARC-Type`` header or when the
     declared ``Content-Length`` differs from the observed payload length
     (the false-split signature)."""
-    raw = spark.read.option("lineSep", _SEP).text(path)
+    return _parse_warc(spark.read.option("lineSep", _SEP).text(path))
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — continuous crawl ingestion:
+    new ``.warc`` files landing in ``path`` become micro-batches of
+    parsed records (the FileStreamSource tracks per-file progress, so a
+    restart never re-parses completed shards). The record-splitting and
+    parse expressions are byte-identical to the batch reader (shared
+    ``_parse_warc``); stream==batch parity is pytest-asserted. Compose
+    with ``extract_html_text`` + ``streaming_exact_dedup`` for the
+    arrival-time curation pipeline."""
+    return _parse_warc(spark.readStream.option("lineSep", _SEP).text(path))
+
+
+def _parse_warc(raw: DataFrame) -> DataFrame:
     # the FIRST record of each file keeps its leading magic (no separator
     # precedes it) — strip it so every row is "headers\r\n\r\npayload"
     rec = F.regexp_replace(F.col("value"), r"\AWARC/1\.0\r\n", "")

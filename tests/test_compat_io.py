@@ -393,3 +393,45 @@ def test_read_warc_parse_and_quarantine(spark, tmp_path):
     p.write_bytes(trap.encode())
     tp = read_warc(spark, str(p)).toPandas()
     assert len(tp) == 2 and tp._warc_malformed.all()
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Continuous crawl ingestion: read_warc_stream over a landing dir,
+    drained availableNow one file per micro-batch, parses byte-identically
+    to the batch reader (shared parse expressions)."""
+    import os
+    import shutil
+
+    from powershap_spark.sources.warc import read_warc, read_warc_stream
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "docs_small.warc")
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(fix, land / "shard0.warc")
+    shutil.copy(fix, land / "shard1.warc")  # a second arrival
+
+    q = (
+        read_warc_stream(spark, str(land))
+        .writeStream.format("memory")
+        .queryName("warc_stream_parity")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from warc_stream_parity")
+        .toPandas()
+        .sort_values(["record_id", "payload"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        read_warc(spark, str(land))
+        .toPandas()
+        .sort_values(["record_id", "payload"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 12  # 6 records x 2 shards
+    assert got.equals(want)
