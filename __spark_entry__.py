@@ -405,6 +405,74 @@ def q_quality_classifier_documents(spark, sf_dir):
     )
 
 
+# Fixed merge table for the bpe_encode oracle pair — the first 12 rules
+# bpe_learn induces from the sf0.01 documents corpus, frozen as literals
+# so the DuckDB oracle (a static SQL string) can replay the exact
+# replace chain. Learning the table live is bpe_merges_documents'
+# (rows-only) concern; applying a SHIPPED table is the encode contract.
+_BPE_RULES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def q_bpe_encode_documents(spark, sf_dir):
+    """BPE tokenizer APPLICATION (the encode half of bpe_learn): each
+    whitespace token's characters merged through a fixed 12-rule table,
+    one greedy left-to-right non-overlapping pass per rule, as a PURE
+    PROJECTION — per-word chained replace expressions on a
+    separator-wrapped symbol string (zero shuffle, whole-stage codegen).
+    FULL value oracle: plain string replace has identical left-to-right
+    non-overlap semantics in DuckDB, so the oracle replays the same
+    chain from the same rule literals, token arrays compared
+    value-for-value. The vocabulary-dictionary variant for
+    production-sized rule tables (method='dict') is parity-pinned in
+    test_text_dedup_sim.py."""
+    from powershap_spark.operators.text import bpe_encode
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_encode(d, _BPE_RULES)
+    return out.select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Mirrors q_bpe_encode_documents: same tokenization, same
+    separator-wrapped replace chain from the same _BPE_RULES literals
+    (sep = chr(1))."""
+    s = (
+        "array_to_string(list_transform("
+        "regexp_extract_all(replace(w, chr(1), ''), '.'), "
+        "c -> chr(1) || c || chr(1)), '')"
+    )
+    for a, b in _BPE_RULES:
+        s = (
+            f"replace({s}, chr(1)||'{a}'||chr(1)||chr(1)||'{b}'||chr(1), "
+            f"chr(1)||'{a}{b}'||chr(1))"
+        )
+    word = (
+        f"string_split(substr({s}, 2, length({s}) - 2), chr(1)||chr(1))"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\\s+')
+                 END AS ws
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 flatten(list_transform(ws, w -> {word})) AS tokens
+          FROM t)
+        SELECT doc_id, tokens, len(tokens)::INT AS n_tokens FROM e
+    """
+
+
 def q_tfidf_keywords_documents(spark, sf_dir):
     """Per-doc top-5 tf-idf keywords (metadata enrichment / routing).
     tf collapses map-side on (doc, xxhash64(token)); df is a window
@@ -1518,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "quality_classifier_documents": q_quality_classifier_documents,
+        "bpe_encode_documents": q_bpe_encode_documents,
         "pack_contiguous_documents": q_pack_contiguous_documents,
         "token_shift_documents": q_token_shift_documents,
         "corpus_divergence_documents": q_corpus_divergence_documents,
@@ -2438,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize_documents": _url_canonicalize_oracle_sql(),
         "html_extract_documents": _html_extract_oracle_sql(),
         "shuffle_shards_documents": _shuffle_shards_oracle_sql(),
+        "bpe_encode_documents": _bpe_encode_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
             FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',

@@ -25,6 +25,8 @@ __all__ = [
     "lm_perplexity",
     "tfidf_keywords",
     "bpe_learn",
+    "bpe_encode",
+    "BPE_SEP",
     "token_shift",
     "corpus_divergence",
 ]
@@ -648,6 +650,114 @@ def bpe_learn(
 
     return spark.createDataFrame(
         merges or [], "merge_idx int, left string, right string, pair_count long"
+    )
+
+
+BPE_SEP = "\x01"
+
+
+def _bpe_word_expr(w, rules, sep: str = BPE_SEP):
+    """Encode ONE word's symbols through the ranked merge table as pure
+    string expressions — the separator-wrapped replace trick: each
+    symbol is stored as ``sep+sym+sep`` and rule (a, b) rewrites
+    ``sep a sep sep b sep -> sep ab sep``. Plain string ``replace``
+    scans left-to-right and never overlaps matches, which is EXACTLY
+    one BPE merge pass (the same single greedy pass ``bpe_learn``'s
+    ``_apply_merge`` fold performs on its vocab), and the double-sep
+    boundary makes a mid-symbol false match impossible (a rule can only
+    fire on whole adjacent symbols). Identical semantics in DuckDB's
+    ``replace``, so encoding carries a full value oracle. ``sep`` chars
+    in input words are stripped first (a control byte is never
+    legitimate token text)."""
+    w = F.replace(w, F.lit(sep), F.lit(""))
+    s = F.array_join(
+        F.transform(
+            F.regexp_extract_all(w, F.lit("."), 0),
+            lambda c: F.concat(F.lit(sep), c, F.lit(sep)),
+        ),
+        "",
+    )
+    for a, b in rules:
+        s = F.replace(
+            s,
+            F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+            F.lit(f"{sep}{a}{b}{sep}"),
+        )
+    core = F.substring(s, 2, F.length(s) - 2)
+    return F.split(core, sep + sep)
+
+
+def _bpe_rules(merges) -> list:
+    """Normalize a merge table: bpe_learn's DataFrame (ordered by
+    merge_idx) or an already-ordered [(left, right), ...] list. The rule
+    table is tokenizer-sized (driver-held by design — it is the artifact
+    a tokenizer ships), never corpus-sized."""
+    if hasattr(merges, "collect"):
+        rows = sorted(merges.collect(), key=lambda r: r["merge_idx"])
+        return [(r["left"], r["right"]) for r in rows]
+    return [(a, b) for a, b in merges]
+
+
+def bpe_encode(
+    docs,
+    merges,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    method: str = "inline",
+    id_col: str = "doc_id",
+    sep: str = BPE_SEP,
+):
+    """Apply a learned BPE merge table to the corpus (the encode half of
+    the tokenizer bpe_learn induces): each whitespace token's characters
+    are merged by the ranked rules, one greedy left-to-right
+    non-overlapping pass per rule — exactly the pass ``bpe_learn``
+    applies to its vocab, so learn/encode are consistent by
+    construction. Appends ``out_col: array<string>``.
+
+    Two value-identical paths (parity pytest):
+
+    - ``method="inline"`` — encoding as a PURE PROJECTION: per-word
+      chained ``replace`` expressions inside a ``transform`` over the
+      token array; zero shuffle, whole-stage codegen, fuses with any
+      scan. Right when the rule table is small (expression size grows
+      with rules): pilot tokenizers, filter-stage encodes.
+    - ``method="dict"`` — the vocabulary trick for production-sized
+      tables and 100-TB corpora: encode each DISTINCT word once (the
+      vocab relation is orders of magnitude smaller than the corpus),
+      then posexplode + join the dictionary back and regroup per doc.
+      Three shuffles on word/id keys, but the replace-chain work is
+      bounded by |vocab| not |corpus|; at 30k+ rules swap the per-word
+      expression for an Arrow UDF behind the same dictionary seam."""
+    rules = _bpe_rules(merges)
+    toks = _tokens(text_col)
+    if method == "inline":
+        return docs.withColumn(
+            out_col,
+            F.flatten(F.transform(toks, lambda w: _bpe_word_expr(w, rules, sep))),
+        )
+    if method != "dict":
+        raise ValueError(f"unknown method {method!r}")
+    enc = (
+        docs.select(F.explode(toks).alias("__w"))
+        .distinct()
+        .select("__w", _bpe_word_expr(F.col("__w"), rules, sep).alias("__t"))
+    )
+    ex = docs.select(id_col, F.posexplode(toks).alias("__pos", "__w"))
+    regrouped = (
+        ex.join(enc, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__t"))),
+                    lambda x: x["__t"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return docs.join(regrouped, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
     )
 
 

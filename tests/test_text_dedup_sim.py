@@ -1405,3 +1405,78 @@ def test_text_ops_randomized_bulk_parity(spark):
         assert [tuple(r) for r in g[["token", "tf", "df", "score"]].to_numpy()] == [
             tuple(r) for r in rows[:3]
         ], i
+
+
+def test_bpe_encode_matches_fold_reference_and_paths_agree(spark):
+    """bpe_encode (separator-wrapped replace trick) == the classic
+    left-to-right non-overlapping merge fold, per rule in rank order —
+    including the overlap ('aaa') and symbol-boundary (ba|ab vs a|ab)
+    traps the string representation must not fall into; inline and
+    dict paths value-identical; learn->encode consistency."""
+    from powershap_spark.operators.text import bpe_encode, bpe_learn
+
+    def ref_word(w, rules):
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def ref(text, rules):
+        return [s for w in text.lower().split() for s in ref_word(w, rules)]
+
+    rules = [("a", "a"), ("b", "a"), ("aa", "b"), ("l", "o"), ("lo", "w")]
+    texts = [
+        "aaa aaaa baab",     # overlap: 'aaa' -> [aa, a]; 'aaaa' -> [aa, aa]
+        "baab abab aab",     # boundary trap: (b,a) fires before any (a,ab)
+        "low lower lowest",  # chained rules l+o then lo+w
+        "",                  # empty doc -> empty tokens
+        "x\x01y",            # separator byte stripped from the word
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = (
+        bpe_encode(docs, rules)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        want = ref(t.replace("\x01", ""), rules)
+        assert list(got.tokens.iloc[i]) == want, (i, t, list(got.tokens.iloc[i]))
+
+    dict_got = (
+        bpe_encode(docs, rules, method="dict")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert [list(x) for x in dict_got.tokens] == [list(x) for x in got.tokens]
+
+    # learn -> encode consistency: encoding the training corpus with the
+    # learned table reproduces the learner's final vocab segmentation
+    corpus = ["low lower lowest low low", "newer newest new low"]
+    cdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    )
+    merges = bpe_learn(cdocs, n_merges=6)
+    lr = [(r.left, r.right) for r in merges.orderBy("merge_idx").collect()]
+    enc = (
+        bpe_encode(cdocs, merges)  # DataFrame form of the merge table
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(corpus):
+        assert list(enc.tokens.iloc[i]) == ref(t, lr)
+
+    with pytest.raises(ValueError):
+        bpe_encode(docs, rules, method="bogus")
