@@ -211,6 +211,14 @@ def main():
         )
     )
 
+    sections.append(
+        (
+            "BPE encode, inline path (chained replace projection: one "
+            "scan, zero Exchange, no Python stage)",
+            plan_of(em.q_bpe_encode_documents(spark, sf)),
+        )
+    )
+
     # quality-classifier training epoch: the same zero-per-epoch-Exchange
     # contract as the selection batch — grouped-map UDF reading the
     # post-shuffle InMemory scan directly
