@@ -391,11 +391,16 @@ def q_quality_classifier_documents(spark, sf_dir):
         "text",
         (quality_score("text") >= 0.7664).cast("int").alias("label"),
     )
+    # featurize ONCE for real: materialize + cut lineage so training and
+    # scoring both read the checkpointed features instead of re-running
+    # the explode/aggregation shuffles (train_logreg's own persist is
+    # scoped to its epochs and released in its finally)
     feat = featurize_hashed(d, label_col="label", dim=1024, n_parts=8)
+    feat = feat.localCheckpoint(eager=True)
     w, _hist = train_logreg(feat, dim=1024, epochs=8, lr=5.0, n_parts=8)
     scored = score_logreg(feat, w, dim=1024)
     return (
-        scored.join(d.select("doc_id", "label"), "doc_id")
+        scored.join(feat.select("doc_id", "label"), "doc_id")
         .select(
             "doc_id",
             "label",
@@ -455,7 +460,8 @@ def _bpe_encode_oracle_sql() -> str:
             f"chr(1)||'{a}{b}'||chr(1))"
         )
     word = (
-        f"string_split(substr({s}, 2, length({s}) - 2), chr(1)||chr(1))"
+        f"list_filter(string_split(substr({s}, 2, length({s}) - 2), "
+        "chr(1)||chr(1)), t -> length(t) > 0)"
     )
     return f"""
         WITH t AS (
@@ -2012,7 +2018,7 @@ def _shuffle_shards_oracle_sql() -> str:
                  ({a_l[0]} * {ph} + {b_l[0]}) % {POLY_MOD} AS h
           FROM documents)
         SELECT doc_id, (h % 8)::INT AS shard,
-               (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id))::INT AS pos
+               (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id))::BIGINT AS pos
         FROM p
     """
 

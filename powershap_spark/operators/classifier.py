@@ -57,16 +57,20 @@ def featurize_hashed(
     [, label])``: lowercase whitespace tokens, ``pmod(xxhash64(tok),
     dim)`` buckets, term-frequency-normalized counts, indices ascending.
     Docs with zero tokens drop out (nothing to learn from, and empty
-    rows would poison the reduceat/bincount offsets downstream)."""
+    rows would poison the reduceat/bincount offsets downstream), as do
+    rows with a NULL label — an unlabeled row would otherwise NaN-poison
+    the whole gradient (``partial_grad`` hard-fails on non-finite labels
+    as a backstop). Tokenization is the module-shared ``text._tokens``
+    (trim/lower/whitespace split) so features and any heuristic weak
+    label derive from the SAME token stream."""
+    from .text import _tokens
+
+    if label_col:
+        df = df.filter(F.col(label_col).isNotNull())
     tok = df.select(
         F.col(id_col).alias("__id"),
         *([F.col(label_col).cast("double").alias("__y")] if label_col else []),
-        F.explode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("tok"),
+        F.explode(_tokens(text_col)).alias("tok"),
     ).withColumn("idx", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
     counted = tok.groupBy(
         "__id", *(["__y"] if label_col else []), "idx"
@@ -113,6 +117,12 @@ def partial_grad(
     pdf = pdf.sort_values(id_col, kind="mergesort")
     lens = pdf["idxs"].map(len).to_numpy(np.int64)
     y = pdf["label"].to_numpy(np.float64)
+    if not np.isfinite(y).all():
+        raise ValueError(
+            "partial_grad: non-finite label(s) — a NULL/NaN label would "
+            "NaN-poison the whole gradient (featurize_hashed filters "
+            "these; check the label expression)"
+        )
     idx = (
         np.concatenate([np.asarray(a, np.int64) for a in pdf["idxs"]])
         if len(pdf)

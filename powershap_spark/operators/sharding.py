@@ -59,9 +59,15 @@ def deterministic_shuffle_shards(
     window PARTITIONED BY shard ordered by (hash, key) — parallel across
     shards, never an ``Exchange SinglePartition`` funnel (the global sort
     a naive ``orderBy(hash)`` + row_number would plan). One shuffle on
-    the shard key, bounded per-task state. Changing the seed is a new
-    epoch permutation; the key tie-break makes duplicate hash values
-    deterministic.
+    the shard key. Changing the seed is a new epoch permutation; the key
+    tie-break makes duplicate hash values deterministic.
+
+    SIZE ``n_shards`` FOR THE DATA: each shard is sorted in one task, so
+    shard count is the parallelism bound AND the per-task memory bound —
+    pick ``n_shards ~ corpus_rows / target_shard_rows`` (training shards
+    are loader-consumable units of 10^5-10^7 rows, so a 10^12-row corpus
+    wants 10^5+ shards, not 8; 8 is sf0.01 scale). ``pos`` is emitted as
+    BIGINT so even a mis-sized giant shard cannot overflow the position.
 
     hash_family="xxhash" is the scale path; "poly" uses the affine
     polynomial char-hash family so the DuckDB oracle reproduces the
@@ -85,7 +91,7 @@ def deterministic_shuffle_shards(
     return (
         df.withColumn("__h", h)
         .withColumn(shard_col, F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
-        .withColumn(pos_col, F.row_number().over(w))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop("__h")
     )
 

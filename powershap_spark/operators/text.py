@@ -684,7 +684,9 @@ def _bpe_word_expr(w, rules, sep: str = BPE_SEP):
             F.lit(f"{sep}{a}{b}{sep}"),
         )
     core = F.substring(s, 2, F.length(s) - 2)
-    return F.split(core, sep + sep)
+    # a word that was ONLY separator bytes strips to '' and would split
+    # to [''] — drop empty symbols so no phantom token survives
+    return F.filter(F.split(core, sep + sep), lambda t: F.length(t) > 0)
 
 
 def _bpe_rules(merges) -> list:

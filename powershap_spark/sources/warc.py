@@ -49,16 +49,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return _parse_warc(spark.read.option("lineSep", _SEP).text(path))
 
 
-def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming twin of :func:`read_warc` — continuous crawl ingestion:
     new ``.warc`` files landing in ``path`` become micro-batches of
     parsed records (the FileStreamSource tracks per-file progress, so a
-    restart never re-parses completed shards). The record-splitting and
-    parse expressions are byte-identical to the batch reader (shared
+    restart never re-parses completed shards; ``max_files_per_trigger``
+    bounds each micro-batch — it is a SOURCE option, set here, not on
+    the writer where it would be silently ignored). The record-splitting
+    and parse expressions are byte-identical to the batch reader (shared
     ``_parse_warc``); stream==batch parity is pytest-asserted. Compose
     with ``extract_html_text`` + ``streaming_exact_dedup`` for the
     arrival-time curation pipeline."""
-    return _parse_warc(spark.readStream.option("lineSep", _SEP).text(path))
+    reader = spark.readStream.option("lineSep", _SEP)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _parse_warc(reader.text(path))
 
 
 def _parse_warc(raw: DataFrame) -> DataFrame:

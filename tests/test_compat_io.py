@@ -411,15 +411,16 @@ def test_warc_stream_matches_batch(spark, tmp_path):
     shutil.copy(fix, land / "shard1.warc")  # a second arrival
 
     q = (
-        read_warc_stream(spark, str(land))
+        read_warc_stream(spark, str(land), max_files_per_trigger=1)
         .writeStream.format("memory")
         .queryName("warc_stream_parity")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
-        .option("maxFilesPerTrigger", 1)
         .start()
     )
     q.awaitTermination(120)
+    # the source option really split the drain: one file per micro-batch
+    assert len(q.recentProgress) >= 2, [p.numInputRows for p in q.recentProgress]
 
     got = (
         spark.sql("select * from warc_stream_parity")

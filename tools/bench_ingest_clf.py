@@ -72,20 +72,6 @@ print(json.dumps({"op": op, "cpus": cpus, "wall": round(wall, 3)}))
 """
 
 
-def _page(doc_id: int, text: str) -> str:
-    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    return (
-        f"<html><head><title>Doc {doc_id}</title><script>var x = 1;</script>"
-        "<style>.nav{color:red}</style></head><body>"
-        '<!-- nav boilerplate --><div class="nav"><ul><li>Home</li>'
-        "<li>About</li><li>Contact</li></ul></div>"
-        f"<h1>Document {doc_id} heading</h1><p>{esc}</p>"
-        "<br><table><tr><td>k</td><td>v</td></tr></table>"
-        "<footer>&copy; 2026 Example &amp; Co. All rights reserved."
-        "</footer></body></html>"
-    )
-
-
 def _prepare(n_docs: int, corpus: str, html_dir: str, warc_dir: str) -> None:
     from powershap_spark import synth
     from powershap_spark.session import get_spark
@@ -96,38 +82,26 @@ def _prepare(n_docs: int, corpus: str, html_dir: str, warc_dir: str) -> None:
         synth.documents(spark, n_docs=n_docs, vocab_size=1000,
                         n_partitions=64).write.parquet(corpus)
     if not os.path.exists(html_dir):
-        # page construction mirrors q_html_extract_documents' inject expr
-        from pyspark.sql import functions as F
+        # the ONE page template: __spark_entry__'s inject expression, so
+        # the bench measures extraction over exactly the page shape the
+        # oracle query pins (no drift between copies)
+        import __spark_entry__ as em
 
         d = spark.read.parquet(corpus).select("doc_id", "text")
-        esc = F.col("text")
-        for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
-            esc = F.replace(esc, F.lit(a), F.lit(b))
-        i = F.col("doc_id").cast("string")
-        page = F.concat(
-            F.lit("<html><head><title>Doc "), i,
-            F.lit("</title><script>var x = 1;</script>"
-                  "<style>.nav{color:red}</style></head><body>"
-                  '<!-- nav boilerplate --><div class="nav"><ul><li>Home'
-                  "</li><li>About</li><li>Contact</li></ul></div>"
-                  "<h1>Document "), i,
-            F.lit(" heading</h1><p>"), esc,
-            F.lit("</p><br><table><tr><td>k</td><td>v</td></tr></table>"
-                  "<footer>&copy; 2026 Example &amp; Co. All rights "
-                  "reserved.</footer></body></html>"),
-        )
-        d.select("doc_id", page.alias("html")).write.parquet(html_dir)
+        d.select("doc_id", em._inject_html_expr().alias("html")) \
+            .write.parquet(html_dir)
     if not os.path.exists(warc_dir):
         os.makedirs(warc_dir)
-        pdf = spark.read.parquet(corpus).select("doc_id", "text").toPandas()
+        # WARC payloads are the SAME pages (read back from html_dir)
+        pdf = spark.read.parquet(html_dir).toPandas()
         n_files = 16
         handles = [
             open(os.path.join(warc_dir, f"shard{i:02d}.warc"), "wb")
             for i in range(n_files)
         ]
         try:
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = _page(int(doc_id), text).encode()
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                payload = html.encode()
                 rec = (
                     b"WARC/1.0\r\n"
                     b"WARC-Type: response\r\n"
