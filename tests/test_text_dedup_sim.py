@@ -1480,3 +1480,147 @@ def test_bpe_encode_matches_fold_reference_and_paths_agree(spark):
 
     with pytest.raises(ValueError):
         bpe_encode(docs, rules, method="bogus")
+
+
+def test_final_ops_randomized_bulk_parity(spark):
+    """Seeded randomized bulk parity for the final-session operators:
+    html_extract over adversarial generated pages (nested/cased tags,
+    entities, comments, script blocks carrying fake tags) vs a python
+    re-implementation of the SAME shared literals; bpe_encode over a
+    random corpus and a random (partly never-matching) rule table vs the
+    per-rule fold reference; deterministic_shuffle_shards (poly) vs a
+    python replay of the affine hash + per-shard ordering."""
+    import random
+    import re
+
+    from powershap_spark.operators.scrub import (
+        HTML_ANY_TAG,
+        HTML_BLOCK_DROP,
+        HTML_ENTITIES,
+        HTML_NEWLINE_TAGS,
+        extract_html_text,
+    )
+    from powershap_spark.operators.text import bpe_encode
+
+    rng = random.Random(20260818)
+
+    # --- html_extract ---------------------------------------------------
+    words = ["alpha", "beta", "gamma", "&amp;", "&lt;x", "a&nbsp;b", "&#39;s"]
+    tags = ["p", "div", "li", "h2", "span", "b", "tr"]
+
+    def page():
+        parts = ["<html><head><title>t</title>"]
+        if rng.random() < 0.7:
+            parts.append("<script>var a = '<p>fake</p>';</script>")
+        if rng.random() < 0.5:
+            parts.append("<STYLE>.x { color: red }</STYLE>")
+        parts.append("</head><body>")
+        for _ in range(rng.randrange(1, 8)):
+            r = rng.random()
+            if r < 0.15:
+                parts.append("<!-- comment " + rng.choice(words) + " -->")
+            elif r < 0.3:
+                t = rng.choice(tags)
+                parts.append(f"<{t.upper() if rng.random() < 0.3 else t}>")
+            elif r < 0.45:
+                parts.append(f"</{rng.choice(tags)}>")
+            else:
+                parts.append(
+                    " ".join(rng.choice(words) for _ in range(rng.randrange(0, 6)))
+                )
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    def ref_extract(html, min_words=3):
+        for pat in HTML_BLOCK_DROP:
+            html = re.sub(pat, " ", html)
+        html = re.sub(HTML_NEWLINE_TAGS, "\n", html)
+        html = re.sub(HTML_ANY_TAG, " ", html)
+        for a, b in HTML_ENTITIES:
+            html = html.replace(a, b)
+        lines = [re.sub(r"\s+", " ", ln).strip(" ") for ln in html.split("\n")]
+        return "\n".join(
+            ln for ln in lines if ln and len(ln.split(" ")) >= min_words
+        )
+
+    pages = {i: page() for i in range(150)}
+    pdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(pages), "html": list(pages.values())})
+    )
+    got = (
+        pdocs.select("doc_id", extract_html_text("html").alias("t"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, h in pages.items():
+        assert got.loc[i, "t"] == ref_extract(h), (i, h)
+
+    # --- bpe_encode ------------------------------------------------------
+    def rand_sym():
+        return "".join(rng.choice("abc") for _ in range(rng.randrange(1, 3)))
+
+    rules = [(rand_sym(), rand_sym()) for _ in range(10)]
+    texts = {
+        i: " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 9)))
+            for _ in range(rng.randrange(0, 7))
+        )
+        for i in range(150)
+    }
+    bdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+    def ref_word(w, rules):
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    enc = (
+        bpe_encode(bdocs, rules).toPandas().set_index("doc_id").sort_index()
+    )
+    for i, t in texts.items():
+        want = [s for w in t.lower().split() for s in ref_word(w, rules)]
+        assert list(enc.loc[i, "tokens"]) == want, (i, t)
+
+    # --- deterministic_shuffle_shards (poly) ------------------------------
+    from powershap_spark.operators.dedup import POLY_MOD, affine_params
+    from powershap_spark.operators.sharding import deterministic_shuffle_shards
+
+    ids = sorted(rng.sample(range(100000), 300))
+    sdocs = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    a_l, b_l = affine_params(1, seed=11)
+    a, b = int(a_l[0]), int(b_l[0])
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % POLY_MOD
+        return h
+
+    hs = {i: (a * poly(str(i)) + b) % POLY_MOD for i in ids}
+    want_rows = {}
+    for sh in range(8):
+        members = sorted((hs[i], i) for i in ids if hs[i] % 8 == sh)
+        for p, (_, i) in enumerate(members, start=1):
+            want_rows[i] = (sh, p)
+    got = (
+        deterministic_shuffle_shards(
+            sdocs, "doc_id", n_shards=8, seed=11, hash_family="poly"
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i in ids:
+        assert (got.loc[i, "shard"], got.loc[i, "pos"]) == want_rows[i], i
