@@ -1,7 +1,8 @@
 from .asof import asof_join, asof_join_broadcast, asof_join_bucketed
+from .classifier import featurize_hashed, score_logreg, train_logreg
 from .curate import curate_corpus
 from .encode import past_target_encode
-from .scrub import canonicalize_url, pii_counts, scrub_pii
+from .scrub import canonicalize_url, extract_html_text, pii_counts, scrub_pii
 from .windows import (
     FeatureSpec,
     LeakageError,
@@ -26,9 +27,13 @@ __all__ = [
     "asof_join_bucketed",
     "canonicalize_url",
     "curate_corpus",
+    "extract_html_text",
+    "featurize_hashed",
     "past_target_encode",
     "pii_counts",
+    "score_logreg",
     "scrub_pii",
+    "train_logreg",
     "FeatureSpec",
     "LeakageError",
     "bfill",
