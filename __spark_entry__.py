@@ -479,6 +479,67 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
+def q_vocab_ids_documents(spark, sf_dir):
+    """The last tokenizer stage: frequency-ranked vocab (top 32 + <unk>)
+    built with TakeOrderedAndProject (bounded per-partition heaps, never
+    a corpus-vocabulary sort), then tokens -> input_ids via a BROADCAST
+    vocab join with OOV mapped to unk and counted. Full value oracle:
+    DuckDB rebuilds the same ranked vocab (count desc, token asc
+    tie-break) and replays the mapping."""
+    from powershap_spark.operators.text import build_vocab, tokens_to_ids
+    from powershap_spark.operators.text import _tokens
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(d, size=32)
+    toks = d.select("doc_id", _tokens("text").alias("tokens"))
+    out = tokens_to_ids(toks, vocab)
+    return out.select(
+        "doc_id",
+        "input_ids",
+        F.coalesce(F.col("n_unk"), F.lit(0)).cast("int").alias("n_unk"),
+        F.size("input_ids").cast("int").alias("n_ids"),
+    )
+
+
+def _vocab_ids_oracle_sql() -> str:
+    """Mirrors q_vocab_ids_documents: same tokenization, same (count
+    desc, token asc) rank with LIMIT 32, OOV -> 0, ids in position
+    order."""
+    return """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\\s+')
+                 END AS ws
+          FROM documents),
+        t AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 unnest(range(len(ws))) AS pos
+          FROM d),
+        v AS (
+          SELECT token,
+                 (row_number() OVER (ORDER BY cnt DESC, token ASC))::INT AS id
+          FROM (SELECT tok AS token, count(*) AS cnt FROM t GROUP BY 1)
+          ORDER BY cnt DESC, token ASC LIMIT 32),
+        m AS (
+          SELECT t.doc_id, t.pos,
+                 coalesce(v.id, 0)::INT AS id,
+                 (v.id IS NULL)::INT AS unk
+          FROM t LEFT JOIN v ON t.tok = v.token),
+        g AS (
+          SELECT doc_id,
+                 list(id ORDER BY pos) AS input_ids,
+                 sum(unk)::INT AS n_unk
+          FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(g.input_ids, CAST([] AS INT[])) AS input_ids,
+               coalesce(g.n_unk, 0)::INT AS n_unk,
+               len(coalesce(g.input_ids, CAST([] AS INT[])))::INT AS n_ids
+        FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+    """
+
+
 def q_tfidf_keywords_documents(spark, sf_dir):
     """Per-doc top-5 tf-idf keywords (metadata enrichment / routing).
     tf collapses map-side on (doc, xxhash64(token)); df is a window
@@ -1593,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_documents": q_bpe_merges_documents,
         "quality_classifier_documents": q_quality_classifier_documents,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "vocab_ids_documents": q_vocab_ids_documents,
         "pack_contiguous_documents": q_pack_contiguous_documents,
         "token_shift_documents": q_token_shift_documents,
         "corpus_divergence_documents": q_corpus_divergence_documents,
@@ -2514,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_documents": _html_extract_oracle_sql(),
         "shuffle_shards_documents": _shuffle_shards_oracle_sql(),
         "bpe_encode_documents": _bpe_encode_oracle_sql(),
+        "vocab_ids_documents": _vocab_ids_oracle_sql(),
         "jsonl_ingest_docs": f"""
             SELECT doc_id, text, lang, url
             FROM read_json('{_FIXTURE_DIR}/docs_small.jsonl',

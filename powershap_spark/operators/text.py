@@ -27,6 +27,8 @@ __all__ = [
     "bpe_learn",
     "bpe_encode",
     "BPE_SEP",
+    "build_vocab",
+    "tokens_to_ids",
     "token_shift",
     "corpus_divergence",
 ]
@@ -760,6 +762,105 @@ def bpe_encode(
     return docs.join(regrouped, id_col, "left").withColumn(
         out_col,
         F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )
+
+
+def build_vocab(
+    docs,
+    size: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    unk_token: str = "<unk>",
+):
+    """Frequency-ranked token vocabulary ``(token, id, count)`` — the id
+    table that turns a tokenized corpus into training ``input_ids``.
+    ``unk_token`` gets id 0; the top-``size`` corpus tokens (count desc,
+    token asc tie-break — deterministic at the cut boundary) get ids
+    1..size in rank order.
+
+    Scale shape: ONE map-side-combined count over the exploded corpus,
+    then ``orderBy(...).limit(size)`` — Spark plans
+    TakeOrderedAndProject (per-partition top-``size`` heaps + one
+    bounded merge), never a full corpus-vocabulary sort; the final
+    row_number windows over the already-``size``-bounded relation (a
+    vocab-sized single task by construction, NOT corpus-sized — the same
+    bounded-driver-action discipline as the BPE argmax)."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= int(min_count))
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(int(size))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "token", F.row_number().over(w).cast("int").alias("id"), "count"
+    )
+    unk = docs.sparkSession.createDataFrame(
+        [(unk_token, 0, 0)], "token string, id int, count long"
+    )
+    return unk.unionByName(ranked.select("token", "id", F.col("count").cast("long")))
+
+
+def tokens_to_ids(
+    docs,
+    vocab,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    out_col: str = "input_ids",
+    unk_id: int = 0,
+):
+    """Map a per-doc token array to id arrays through a vocab table
+    (``build_vocab`` output or any ``(token, id)`` frame): posexplode ->
+    BROADCAST join (the vocab is size-bounded by construction) ->
+    regroup in position order; out-of-vocabulary tokens map to
+    ``unk_id`` and are counted in ``n_unk``. Appends ``out_col:
+    array<int>`` + ``n_unk``; docs with empty token arrays keep an empty
+    id array. One corpus shuffle (the regroup by doc) — the id mapping
+    itself never shuffles the vocab side."""
+    from pyspark.sql.functions import broadcast
+
+    ex = docs.select(
+        id_col, F.posexplode_outer(tokens_col).alias("__pos", "__tok")
+    )
+    mapped = (
+        ex.join(
+            broadcast(vocab.select(F.col("token").alias("__tok"), "id")),
+            "__tok",
+            "left",
+        )
+        .withColumn(
+            "__id",
+            F.when(F.col("__tok").isNull(), F.lit(None).cast("int")).otherwise(
+                F.coalesce(F.col("id"), F.lit(int(unk_id)))
+            ),
+        )
+    )
+    regrouped = mapped.groupBy(id_col).agg(
+        F.filter(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__id"))
+                ),
+                lambda x: x["__id"],
+            ),
+            lambda v: v.isNotNull(),
+        ).alias(out_col),
+        F.sum(
+            F.when(
+                F.col("__tok").isNotNull() & F.col("id").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_unk"),
+    )
+    return docs.join(regrouped, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
     )
 
 

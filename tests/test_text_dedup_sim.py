@@ -1624,3 +1624,63 @@ def test_final_ops_randomized_bulk_parity(spark):
     )
     for i in ids:
         assert (got.loc[i, "shard"], got.loc[i, "pos"]) == want_rows[i], i
+
+
+def test_build_vocab_and_tokens_to_ids(spark):
+    """Rank determinism at the cut boundary, unk mapping + n_unk
+    accounting, empty-doc empty id arrays, and the plan contracts: the
+    vocab build is a TakeOrderedAndProject (bounded heaps, never a full
+    vocabulary sort) and the id mapping joins the vocab via broadcast."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from powershap_spark.operators.text import (
+        _tokens,
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    texts = {
+        0: "bb bb bb aa aa cc",
+        1: "aa cc dd ee",     # dd/ee tie at count 1 -> token asc order
+        2: "",                # empty doc
+        3: "zz zz",           # outside a size-3 vocab -> all unk
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    vocab = build_vocab(docs, size=3)
+    vp = vocab.toPandas().sort_values("id").reset_index(drop=True)
+    # counts: bb=3, aa=3, cc=2, zz=2, dd=1, ee=1
+    # rank: (3,aa) < (3,bb) by token asc; (2,cc) < (2,zz)
+    assert list(zip(vp.token, vp.id)) == [
+        ("<unk>", 0), ("aa", 1), ("bb", 2), ("cc", 3)
+    ]
+
+    toks = docs.select("doc_id", _tokens("text").alias("tokens"))
+    out = (
+        tokens_to_ids(toks, vocab)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.loc[0, "input_ids"]) == [2, 2, 2, 1, 1, 3]
+    assert list(out.loc[1, "input_ids"]) == [1, 3, 0, 0] and out.loc[1, "n_unk"] == 2
+    assert list(out.loc[2, "input_ids"]) == [] 
+    assert list(out.loc[3, "input_ids"]) == [0, 0] and out.loc[3, "n_unk"] == 2
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan(build_vocab(docs, size=3))
+    assert "TakeOrderedAndProject" in p, p
+    p2 = plan(tokens_to_ids(toks, vocab))
+    assert re.search(r"BroadcastHashJoin|BroadcastNestedLoop", p2), p2
+    assert "BroadcastNestedLoop" not in p2  # it is a real equi broadcast join
+
+    with pytest.raises(ValueError):
+        build_vocab(docs, size=0)
