@@ -460,7 +460,7 @@ def _bpe_encode_oracle_sql() -> str:
             f"chr(1)||'{a}{b}'||chr(1))"
         )
     word = (
-        f"list_filter(string_split(substr({s}, 2, length({s}) - 2), "
+        f"list_filter(string_split(trim({s}, chr(1)), "
         "chr(1)||chr(1)), t -> length(t) > 0)"
     )
     return f"""
@@ -473,7 +473,8 @@ def _bpe_encode_oracle_sql() -> str:
           FROM documents),
         e AS (
           SELECT doc_id,
-                 flatten(list_transform(ws, w -> {word})) AS tokens
+                 coalesce(flatten(list_transform(ws, w -> {word})),
+                          CAST([] AS VARCHAR[])) AS tokens
           FROM t)
         SELECT doc_id, tokens, len(tokens)::INT AS n_tokens FROM e
     """
@@ -520,7 +521,8 @@ def _vocab_ids_oracle_sql() -> str:
         v AS (
           SELECT token,
                  (row_number() OVER (ORDER BY cnt DESC, token ASC))::INT AS id
-          FROM (SELECT tok AS token, count(*) AS cnt FROM t GROUP BY 1)
+          FROM (SELECT tok AS token, count(*) AS cnt FROM t
+                WHERE tok != '<unk>' GROUP BY 1)
           ORDER BY cnt DESC, token ASC LIMIT 32),
         m AS (
           SELECT t.doc_id, t.pos,

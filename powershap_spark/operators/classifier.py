@@ -70,7 +70,11 @@ def featurize_hashed(
     tok = df.select(
         F.col(id_col).alias("__id"),
         *([F.col(label_col).cast("double").alias("__y")] if label_col else []),
-        F.explode(_tokens(text_col)).alias("tok"),
+        # _tokens keeps a leading '' for tab/newline-padded text (trim
+        # strips spaces only) — filter so '' never becomes a feature
+        F.explode(
+            F.filter(_tokens(text_col), lambda t: F.length(t) > 0)
+        ).alias("tok"),
     ).withColumn("idx", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
     counted = tok.groupBy(
         "__id", *(["__y"] if label_col else []), "idx"

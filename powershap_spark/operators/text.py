@@ -685,10 +685,17 @@ def _bpe_word_expr(w, rules, sep: str = BPE_SEP):
             F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
             F.lit(f"{sep}{a}{b}{sep}"),
         )
-    core = F.substring(s, 2, F.length(s) - 2)
-    # a word that was ONLY separator bytes strips to '' and would split
-    # to [''] — drop empty symbols so no phantom token survives
-    return F.filter(F.split(core, sep + sep), lambda t: F.length(t) > 0)
+    # btrim (not substring(2, len-2)) so the replace chain is evaluated
+    # ONCE — a second F.length(s) would embed a full second copy of the
+    # chain (no CSE inside higher-order functions); the wrapping
+    # invariant guarantees exactly one sep at each edge, so both spell
+    # the same value. A word that was ONLY separator bytes strips to ''
+    # and would split to [''] — drop empty symbols so no phantom token
+    # survives.
+    return F.filter(
+        F.split(F.btrim(s, F.lit(sep)), sep + sep),
+        lambda t: F.length(t) > 0,
+    )
 
 
 def _bpe_rules(merges) -> list:
@@ -735,9 +742,16 @@ def bpe_encode(
     rules = _bpe_rules(merges)
     toks = _tokens(text_col)
     if method == "inline":
+        # coalesce: NULL text tokenizes to NULL — both paths must agree
+        # on [] (the dict path's regroup-coalesce already yields [])
         return docs.withColumn(
             out_col,
-            F.flatten(F.transform(toks, lambda w: _bpe_word_expr(w, rules, sep))),
+            F.coalesce(
+                F.flatten(
+                    F.transform(toks, lambda w: _bpe_word_expr(w, rules, sep))
+                ),
+                F.array().cast("array<string>"),
+            ),
         )
     if method != "dict":
         raise ValueError(f"unknown method {method!r}")
@@ -791,6 +805,10 @@ def build_vocab(
 
     counts = (
         docs.select(F.explode(_tokens(text_col)).alias("token"))
+        # the literal unk_token in corpus text must not rank: a second
+        # vocab row for it would double-match every occurrence in
+        # tokens_to_ids' join (duplicated positions)
+        .filter(F.col("token") != unk_token)
         .groupBy("token")
         .agg(F.count("*").alias("count"))
         .filter(F.col("count") >= int(min_count))

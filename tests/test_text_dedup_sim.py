@@ -1407,6 +1407,24 @@ def test_text_ops_randomized_bulk_parity(spark):
         ], i
 
 
+def _ref_bpe_word(w, rules):
+    """Shared BPE fold reference: one greedy left-to-right
+    non-overlapping pass per rule, in rank order (both parity tests pin
+    against THIS single definition)."""
+    syms = list(w)
+    for a, b in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def test_bpe_encode_matches_fold_reference_and_paths_agree(spark):
     """bpe_encode (separator-wrapped replace trick) == the classic
     left-to-right non-overlapping merge fold, per rule in rank order —
@@ -1415,22 +1433,8 @@ def test_bpe_encode_matches_fold_reference_and_paths_agree(spark):
     dict paths value-identical; learn->encode consistency."""
     from powershap_spark.operators.text import bpe_encode, bpe_learn
 
-    def ref_word(w, rules):
-        syms = list(w)
-        for a, b in rules:
-            out, i = [], 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
-
     def ref(text, rules):
-        return [s for w in text.lower().split() for s in ref_word(w, rules)]
+        return [s for w in text.lower().split() for s in _ref_bpe_word(w, rules)]
 
     rules = [("a", "a"), ("b", "a"), ("aa", "b"), ("l", "o"), ("lo", "w")]
     texts = [
@@ -1572,25 +1576,11 @@ def test_final_ops_randomized_bulk_parity(spark):
         pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
     )
 
-    def ref_word(w, rules):
-        syms = list(w)
-        for a, b in rules:
-            out, i = [], 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
-
     enc = (
         bpe_encode(bdocs, rules).toPandas().set_index("doc_id").sort_index()
     )
     for i, t in texts.items():
-        want = [s for w in t.lower().split() for s in ref_word(w, rules)]
+        want = [s for w in t.lower().split() for s in _ref_bpe_word(w, rules)]
         assert list(enc.loc[i, "tokens"]) == want, (i, t)
 
     # --- deterministic_shuffle_shards (poly) ------------------------------

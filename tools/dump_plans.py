@@ -218,6 +218,13 @@ def main():
             plan_of(em.q_bpe_encode_documents(spark, sf)),
         )
     )
+    sections.append(
+        (
+            "vocab build + token ids (TakeOrderedAndProject vocab cut, "
+            "BroadcastHashJoin id mapping)",
+            plan_of(em.q_vocab_ids_documents(spark, sf)),
+        )
+    )
 
     # quality-classifier training epoch: the same zero-per-epoch-Exchange
     # contract as the selection batch — grouped-map UDF reading the
