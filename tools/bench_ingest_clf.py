@@ -18,8 +18,10 @@ ONCE under /tmp so every cell reads identical bytes:
 - clf:   the standard synth.documents corpus; featurize (dim 4096,
          n_parts = cores) + 3 full-batch GD epochs.
 
-Usage: python tools/bench_ingest_clf.py [n_docs] [N] [repeat]
-Defaults: 400000 docs, N=8 (so 8 vs 32), repeat 3.
+Usage: python tools/bench_ingest_clf.py [n_docs] [N] [repeat] [ops]
+Defaults: 400000 docs, N=8 (so 8 vs 32), repeat 3, ops warc,html,clf
+(ops also accepts "vocab" — build_vocab + tokens_to_ids over the same
+corpus).
 """
 
 from __future__ import annotations
@@ -63,6 +65,14 @@ def run():
         feat = featurize_hashed(d, label_col="label", dim=4096,
                                 n_parts=cpus)
         train_logreg(feat, dim=4096, epochs=3, lr=1.0, n_parts=cpus)
+    elif op == "vocab":
+        from powershap_spark.operators.text import (
+            _tokens, build_vocab, tokens_to_ids)
+        d = spark.read.parquet(os.environ["BENCH_CORPUS"])
+        vocab = build_vocab(d, size=4096)
+        toks = d.select("doc_id", _tokens("text").alias("tokens"))
+        tokens_to_ids(toks, vocab).write.format("noop") \
+            .mode("overwrite").save()
     else:
         raise SystemExit(f"unknown op {op}")
 
@@ -127,7 +137,9 @@ def main():
     warc_dir = f"/tmp/bench_warc_{n_docs}"
     _prepare(n_docs, corpus, html_dir, warc_dir)
 
-    ops = ["warc", "html", "clf"]
+    ops = (
+        sys.argv[4].split(",") if len(sys.argv) > 4 else ["warc", "html", "clf"]
+    )
     cells = {(op, c): [] for op in ops for c in (n, 4 * n)}
     env_base = {**os.environ, "BENCH_CORPUS": corpus,
                 "BENCH_HTML": html_dir, "BENCH_WARC": warc_dir,
