@@ -832,16 +832,61 @@ def tokens_to_ids(
     id_col: str = "doc_id",
     out_col: str = "input_ids",
     unk_id: int = 0,
+    method: str = "join",
+    max_map_size: int = 256,
 ):
     """Map a per-doc token array to id arrays through a vocab table
-    (``build_vocab`` output or any ``(token, id)`` frame): posexplode ->
-    BROADCAST join (the vocab is size-bounded by construction) ->
-    regroup in position order; out-of-vocabulary tokens map to
-    ``unk_id`` and are counted in ``n_unk``. Appends ``out_col:
-    array<int>`` + ``n_unk``; docs with empty token arrays keep an empty
-    id array. One corpus shuffle (the regroup by doc) — the id mapping
-    itself never shuffles the vocab side."""
+    (``build_vocab`` output or any ``(token, id)`` frame);
+    out-of-vocabulary tokens map to ``unk_id`` and are counted in
+    ``n_unk``. Appends ``out_col: array<int>`` + ``n_unk``; docs with
+    empty token arrays keep an empty id array. Two value-identical paths
+    (parity pytest):
+
+    - ``method="join"`` (default) — posexplode -> BROADCAST join ->
+      regroup in position order; one corpus shuffle (the regroup by
+      doc). This is the right path for ANY realistic vocabulary: a
+      broadcast hash join probes a real hash table per token.
+    - ``method="map"`` — embed the collected vocab as a literal map and
+      map as a PURE PROJECTION (zero shuffle). MEASURED NEGATIVE at
+      tokenizer scale (ANALYSIS_r06 §7c): Spark's literal-map lookup is
+      a LINEAR SCAN per probe (ArrayBasedMapData carries no hash
+      index), so a 4096-entry map ran ~5x SLOWER end-to-end than the
+      join path despite the saved shuffle. Kept for TINY vocabs (label
+      sets, special-token tables) where the scan is a few comparisons
+      and the zero-shuffle plan fuses with any scan; falls back to the
+      join path above ``max_map_size`` entries."""
     from pyspark.sql.functions import broadcast
+
+    if method not in ("map", "join"):
+        raise ValueError(f"unknown method {method!r}")
+    # the reserved unk row is a SENTINEL, not a match target: a corpus
+    # token spelled like the unk literal must be counted OOV (and map to
+    # unk_id via the miss path), in both methods
+    vocab = vocab.filter(F.col("id") != int(unk_id))
+    if method == "map":
+        rows = vocab.select("token", "id").collect()  # vocab-sized
+        if len(rows) <= int(max_map_size):
+            m = F.map_from_arrays(
+                F.lit([r["token"] for r in rows]),
+                F.lit([int(r["id"]) for r in rows]),
+            )
+            raw = F.transform(
+                F.coalesce(
+                    F.col(tokens_col), F.array().cast("array<string>")
+                ),
+                lambda t: F.element_at(m, t),
+            )
+            return docs.withColumns(
+                {
+                    out_col: F.transform(
+                        raw,
+                        lambda v: F.coalesce(v, F.lit(int(unk_id))).cast("int"),
+                    ),
+                    "n_unk": F.size(F.filter(raw, lambda v: v.isNull()))
+                    .cast("int"),
+                }
+            )
+        # vocab too large for an expression literal: fall through to join
 
     ex = docs.select(
         id_col, F.posexplode_outer(tokens_col).alias("__pos", "__tok")

@@ -1657,8 +1657,34 @@ def test_build_vocab_and_tokens_to_ids(spark):
     )
     assert list(out.loc[0, "input_ids"]) == [2, 2, 2, 1, 1, 3]
     assert list(out.loc[1, "input_ids"]) == [1, 3, 0, 0] and out.loc[1, "n_unk"] == 2
-    assert list(out.loc[2, "input_ids"]) == [] 
+    assert list(out.loc[2, "input_ids"]) == []
     assert list(out.loc[3, "input_ids"]) == [0, 0] and out.loc[3, "n_unk"] == 2
+
+    # the opt-in literal-map path and its forced fallback (tiny
+    # max_map_size -> back to join) are value-identical to the default
+    for kw in ({"method": "map"}, {"method": "map", "max_map_size": 1}):
+        alt = (
+            tokens_to_ids(toks, vocab, **kw)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i in out.index:
+            assert list(alt.loc[i, "input_ids"]) == list(out.loc[i, "input_ids"])
+            assert alt.loc[i, "n_unk"] == out.loc[i, "n_unk"]
+
+    # a corpus containing the LITERAL unk token: excluded from ranks,
+    # maps to unk id, counted as OOV
+    trap = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["<unk> aa <unk> aa aa"]})
+    )
+    tv = build_vocab(trap, size=3)
+    tp = tv.toPandas()
+    assert list(tp.token).count("<unk>") == 1  # only the reserved row
+    tout = tokens_to_ids(
+        trap.select("doc_id", _tokens("text").alias("tokens")), tv
+    ).toPandas()
+    assert tout.n_unk.iloc[0] == 2
 
     def plan(df):
         buf = io.StringIO()
@@ -1668,9 +1694,14 @@ def test_build_vocab_and_tokens_to_ids(spark):
 
     p = plan(build_vocab(docs, size=3))
     assert "TakeOrderedAndProject" in p, p
-    p2 = plan(tokens_to_ids(toks, vocab))
+    p2 = plan(tokens_to_ids(toks, vocab))  # default join path
     assert re.search(r"BroadcastHashJoin|BroadcastNestedLoop", p2), p2
     assert "BroadcastNestedLoop" not in p2  # it is a real equi broadcast join
+    # opt-in literal-map path: PURE projection — no join, no Exchange
+    p3 = plan(tokens_to_ids(toks, vocab, method="map"))
+    assert "Join" not in p3 and "Exchange" not in p3, p3
 
+    with pytest.raises(ValueError):
+        tokens_to_ids(toks, vocab, method="bogus")
     with pytest.raises(ValueError):
         build_vocab(docs, size=0)
