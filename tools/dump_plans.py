@@ -225,6 +225,13 @@ def main():
             plan_of(em.q_vocab_ids_documents(spark, sf)),
         )
     )
+    sections.append(
+        (
+            "deterministic epoch shuffle (window PARTITIONED BY shard — "
+            "one hash Exchange, no Exchange SinglePartition)",
+            plan_of(em.q_shuffle_shards_documents(spark, sf)),
+        )
+    )
 
     # quality-classifier training epoch: the same zero-per-epoch-Exchange
     # contract as the selection batch — grouped-map UDF reading the
