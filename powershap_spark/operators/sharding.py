@@ -76,6 +76,11 @@ def deterministic_shuffle_shards(
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in (shard_col, pos_col, "__h"):
+        if c in df.columns:
+            raise ValueError(
+                f"output column {c!r} already exists in the input frame"
+            )
     k = F.col(key_col)
     if hash_family == "xxhash":
         h: Column = F.xxhash64(k, F.lit(seed))

@@ -561,6 +561,12 @@ def bpe_learn(
     toks = _tokens(text_col)
     vocab = (
         docs.select(F.explode(toks).alias("__w"))
+        # _tokens trims spaces only, so tab/newline-padded text yields a
+        # zero-length token; its symbol array would be [] and the merge
+        # fold's sequence(0, n-1) turns DESCENDING ([0,-1]) for n=0,
+        # rewriting it to [null,null] — a phantom pair that can win the
+        # argmax and crash F.lit(a+b) (ADVICE r6)
+        .filter(F.length("__w") > 0)
         .groupBy("__w")
         .agg(F.count("*").alias("__c"))
         .select(
@@ -595,8 +601,13 @@ def bpe_learn(
         acc0 = F.struct(
             F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
         )
+        # belt-and-braces with the empty-word filter above: sequence(0, -1)
+        # is DESCENDING on Spark, so a zero-symbol row must stay empty
+        idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
         merged = F.aggregate(
-            F.sequence(F.lit(0), n - 1),
+            idx,
             acc0,
             lambda acc, i: F.when(
                 acc["skip"],
@@ -807,8 +818,11 @@ def build_vocab(
         docs.select(F.explode(_tokens(text_col)).alias("token"))
         # the literal unk_token in corpus text must not rank: a second
         # vocab row for it would double-match every occurrence in
-        # tokens_to_ids' join (duplicated positions)
-        .filter(F.col("token") != unk_token)
+        # tokens_to_ids' join (duplicated positions). Zero-length tokens
+        # (tab/newline-padded text survives _tokens' space-only trim) must
+        # not rank either — an id slot for '' is a wasted vocab entry
+        # (ADVICE r6).
+        .filter((F.col("token") != unk_token) & (F.length("token") > 0))
         .groupBy("token")
         .agg(F.count("*").alias("count"))
         .filter(F.col("count") >= int(min_count))

@@ -111,6 +111,35 @@ def test_multimodal_expected_fixtures_are_deterministic(spark, name):
     )
 
 
+@pytest.mark.parametrize(
+    "name,fname,order",
+    [
+        ("bpe_merges_documents", "bpe_merges_expected.parquet", ["merge_idx"]),
+        (
+            "quality_classifier_documents",
+            "quality_clf_expected.parquet",
+            ["doc_id"],
+        ),
+        ("pack_sequences_documents", "pack_sequences_expected.parquet", ["doc_id"]),
+    ],
+)
+def test_pipeline_expected_fixtures_are_deterministic(spark, name, fname, order):
+    """The three non-SQL-expressible pipeline queries (BPE induction,
+    classifier train+score, FFD packing) carry fixture-backed value
+    oracles: the live run over the fixed deterministic synth input must
+    reproduce the committed expected output exactly (if the operator or
+    the synth generator changes, regenerate via tools/make_fixtures.py)."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", fname)
+    committed = pd.read_parquet(fix)
+    live = em.queries()[name](spark, None).orderBy(*order).toPandas()
+    assert list(live.columns) == list(committed.columns)
+    pd.testing.assert_frame_equal(
+        live.reset_index(drop=True), committed.reset_index(drop=True)
+    )
+
+
 def test_stumps_selection_fixture_is_deterministic():
     """The stumps_selection value oracle hinges on the numpy boosting run
     reproducing the committed fixture exactly."""

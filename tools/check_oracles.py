@@ -21,17 +21,29 @@ TABLES = [
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """DRIVER-PARITY canonicalization (VERDICT r6 #3): the driver sorts the
+    RAW column values and hashes them — it does not stringify objects, does
+    not round floats, and crashes on array-typed cells. So this gate must
+    (a) REJECT list/ndarray cells the way the driver would (its sort raises
+    ``unhashable type: 'list'``), and (b) compare exactly, no atol rescue —
+    queries are responsible for emitting pre-rounded / tie-free scalars on
+    BOTH sides."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
+            bad = pdf[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+            if bad:
+                raise TypeError(
+                    f"column {c!r} holds array-typed cells; the driver "
+                    "canonicalizer cannot sort these — emit scalars "
+                    "(concat_ws / array_to_string)"
+                )
             pdf[c] = pdf[c].astype(str)
         elif "datetime" in str(pdf[c].dtype):
             s = pd.to_datetime(pdf[c])
             if getattr(s.dtype, "tz", None) is not None:
                 s = s.dt.tz_localize(None)
             pdf[c] = s.astype("datetime64[ns]").astype("int64")
-        elif pdf[c].dtype.kind == "f":
-            pdf[c] = pdf[c].round(6)
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
         drop=True
     )
@@ -70,16 +82,24 @@ def main():
             failures.append(name)
             print(f"[ERR ] {name}: duckdb failed: {str(e)[:200]}")
             continue
-        a, b = normalize(sdf), normalize(odf)
+        try:
+            a, b = normalize(sdf), normalize(odf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"[ERR ] {name}: canonicalize failed: {e}")
+            continue
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
+        # exact equality after canonicalization — int/float dtype mismatches
+        # between engines (e.g. Spark bigint vs DuckDB HUGEINT->float) are
+        # tolerated only when the VALUES are exactly equal as float64,
+        # mirroring the driver's value hash of the canonical frame
         ok_vals = ok_rows and ok_cols and a.equals(b)
         if not ok_vals and ok_rows and ok_cols:
-            # allow tiny float wiggle
             try:
                 ok_vals = all(
-                    np.allclose(
-                        a[c].astype(float), b[c].astype(float), atol=1e-5, equal_nan=True
+                    np.array_equal(
+                        a[c].astype(float), b[c].astype(float), equal_nan=True
                     )
                     if a[c].dtype.kind in "fiu" and b[c].dtype.kind in "fiu"
                     else (a[c] == b[c]).all()

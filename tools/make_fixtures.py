@@ -91,6 +91,21 @@ def main():
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path, **kw)
         print(f"wrote {path} ({len(out)} rows)")
 
+    # expected-output fixtures for the three non-SQL-expressible pipeline
+    # queries (iterative BPE argmax / gradient-descent loop / first-fit-
+    # decreasing): each runs live over a FIXED deterministic synth input,
+    # so the committed expected output is the DuckDB side of a full value
+    # oracle (the powershap_selection pattern). Pinned by tests/test_entry.py
+    for qname, fname, order in (
+        ("bpe_merges_documents", "bpe_merges_expected.parquet", ["merge_idx"]),
+        ("quality_classifier_documents", "quality_clf_expected.parquet", ["doc_id"]),
+        ("pack_sequences_documents", "pack_sequences_expected.parquet", ["doc_id"]),
+    ):
+        out = entry.queries()[qname](spark, None).orderBy(*order).toPandas()
+        path = os.path.abspath(os.path.join(FIXTURE_DIR, fname))
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path, **kw)
+        print(f"wrote {path} ({len(out)} rows)")
+
     # real-PNG media fixture + expected features (stdlib decoder path)
     import numpy as np
 
