@@ -523,6 +523,7 @@ def bpe_learn(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch_size: int = 8,
 ):
     """Distributed BPE tokenizer induction (Sennrich et al.,
     arXiv:1508.07909): learn the first ``n_merges`` merge rules from the
@@ -540,14 +541,20 @@ def bpe_learn(
     the same map-side-combined shuffle as every counting operator here)
     and each of the ``n_merges`` iterations runs on the vocab-sized
     table (distinct words — orders of magnitude smaller, still
-    distributed: 10^8 rows at web scale). Per iteration: pair counts
-    are a partial+final SUM over exploded adjacent symbol pairs, the
-    argmax is ONE collected row (the repo's scalar-action convention,
-    like connected_components' convergence checks), and the merge
-    application is a pure JVM left-fold over each word's symbol array
-    (non-overlapping, left-to-right). The evolving vocab re-persists
-    every iteration with the previous handle released; every
-    ``checkpoint_every`` iterations the lineage is cut via
+    distributed: 10^8 rows at web scale). Per PASS: pair counts are a
+    partial+final SUM over exploded adjacent symbol pairs, the ranked
+    top rows are ONE bounded collect (the repo's scalar-action
+    convention, like connected_components' convergence checks), and the
+    merge application is a pure JVM left-fold over each word's symbol
+    array (non-overlapping, left-to-right). Up to ``batch_size`` merges
+    are learned per pass — the maximal ranked prefix of pairwise
+    NON-INTERACTING pairs with a strict count gap to the first excluded
+    row, which is provably bit-identical to one-merge-at-a-time greedy
+    (see the in-loop proof note) — so a production 32k-merge induction
+    needs ~n_merges/batch_size Spark jobs, not n_merges
+    (``batch_size=1`` restores the textbook one-job-per-merge loop).
+    The evolving vocab re-persists every pass with the previous handle
+    released; every ``checkpoint_every`` passes the lineage is cut via
     localCheckpoint (same chain-control as connected_components)."""
     from pyspark import StorageLevel
 
@@ -557,6 +564,8 @@ def bpe_learn(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
 
     toks = _tokens(text_col)
     vocab = (
@@ -574,8 +583,12 @@ def bpe_learn(
             F.regexp_extract_all(F.col("__w"), F.lit("."), 0).alias("__s"),
         )
     )
+    # LAZY persist: the first pass's ranked-pairs collect materializes the
+    # cache as a side effect, so no separate count() job is ever paid —
+    # the parent handle is released only AFTER the child materialized
+    # (deferred unpersist below), keeping lineage recompute impossible
+    # while halving the per-pass job count vs eager persist+count.
     vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
 
     def _pair_counts(v):
         n = F.size(F.col("__s"))
@@ -634,32 +647,78 @@ def bpe_learn(
 
     merges = []
     spark = docs.sparkSession
-    for it in range(int(n_merges)):
-        top = (
+    cap = max(1, int(batch_size))
+    n_passes = 0
+    prev = None
+    while len(merges) < int(n_merges):
+        want = min(cap, int(n_merges) - len(merges))
+        ranked = (
             _pair_counts(vocab)
             .orderBy(
                 F.col("pair_count").desc(),
                 F.col("left").asc(),
                 F.col("right").asc(),
             )
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
-        if not top:
+        # this collect just materialized `vocab`'s cache; the parent
+        # handle (previous pass's vocab) is now safe to release
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if not ranked:
             break
-        a, b, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
-        merges.append((it, a, b, cnt))
-        if it == int(n_merges) - 1:
+        # Batch selection — PROVABLY identical to sequential greedy:
+        # accept the maximal ranked prefix whose pairs are pairwise
+        # non-interacting (no symbol of one appears as a symbol — or as
+        # the merged output l+r — of another), then truncate so every
+        # accepted pair beyond the first counts STRICTLY more than the
+        # first non-accepted row (c_stop). Why this is exact: applying
+        # disjoint merges leaves each other's counts unchanged, every
+        # DECREASED pair contains an accepted symbol, and every NEW pair
+        # (x, ab) is a subset of occurrences of an old pair (x, a) that
+        # interacts with the batch — and any interacting pair ranks at
+        # or below the stopper, so its count (and hence every
+        # descendant's) is <= c_stop < the accepted counts. Sequential
+        # greedy therefore picks exactly this prefix, in this order,
+        # with these counts. The strict gap also sidesteps tie-break
+        # races against descendants that tie an accepted count.
+        blocked: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        c_stop = None
+        for row in ranked:
+            a, b, cnt = row["left"], row["right"], int(row["pair_count"])
+            if len(accepted) >= want or a in blocked or b in blocked:
+                c_stop = cnt
+                break
+            accepted.append((a, b, cnt))
+            blocked.update((a, b, a + b))
+        if c_stop is not None:
+            while len(accepted) > 1 and accepted[-1][2] <= c_stop:
+                accepted.pop()
+        for a, b, cnt in accepted:
+            merges.append((len(merges), a, b, cnt))
+        if len(merges) >= int(n_merges):
             break  # table complete; skip the unused final rewrite
-        nxt = _apply_merge(vocab, a, b)
-        if (it + 1) % int(checkpoint_every) == 0:
+        nxt = vocab
+        for a, b, _ in accepted:
+            nxt = _apply_merge(nxt, a, b)
+        n_passes += 1
+        if n_passes % int(checkpoint_every) == 0:
+            # eager: a checkpoint exists to CUT lineage now, and the cut
+            # must land before the parent chain is released
             nxt = nxt.localCheckpoint(eager=True)
+            vocab.unpersist()
         else:
+            # lazy persist; the NEXT pass's collect materializes it, after
+            # which `prev` (this pass's vocab) is released above
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()
-        vocab.unpersist()
+            prev = vocab
         vocab = nxt
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
 
     return spark.createDataFrame(
         merges or [], "merge_idx int, left string, right string, pair_count long"

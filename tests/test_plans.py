@@ -97,10 +97,13 @@ def test_selection_batch_zero_exchange_zero_sort(spark, clf_xy):
         list(X.columns), "label", [(0, 0), (1, 1)], 0, 0.2, None, None, None,
         "positional", None, ["row_id"],
     )
-    out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
-    p = _plan(out)
     import re
 
+    from powershap_spark.engine import _make_arrow_fn
+
+    # grouped-map twin (arrow_explain=False / single_batch path)
+    out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
+    p = _plan(out)
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", p)) == 1
     # the PER-BATCH segment is everything above the InMemory scan; the
     # Exchange/Sort inside InMemoryRelation's recorded build plan ran once
@@ -108,6 +111,15 @@ def test_selection_batch_zero_exchange_zero_sort(spark, clf_xy):
     batch_seg = p.split("InMemoryTableScan", 1)[0]
     assert "Exchange" not in batch_seg, p
     assert "Sort" not in batch_seg, p
+
+    # default mapInArrow path: a pure per-partition map over the cached
+    # layout — no grouping operator at all, still zero Exchange/Sort
+    out_a = be.df.mapInArrow(_make_arrow_fn(fn), schema=_RESULT_SCHEMA)
+    pa_ = _plan(out_a)
+    assert "MapInArrow" in pa_ or "PythonMapInArrow" in pa_, pa_
+    batch_seg_a = pa_.split("InMemoryTableScan", 1)[0]
+    assert "Exchange" not in batch_seg_a, pa_
+    assert "Sort" not in batch_seg_a, pa_
     be.release()
 
 

@@ -1258,6 +1258,37 @@ def test_bpe_learn_matches_sennrich_reference(spark):
         bpe_learn(docs, n_merges=0)
 
 
+def test_bpe_learn_batched_equals_sequential(spark):
+    """The batched merge selection (up to batch_size pairwise
+    non-interacting merges per vocab rewrite pass, strict count gap to
+    the first excluded row) must be BIT-IDENTICAL to the textbook
+    one-merge-per-pass loop — on a tie-heavy deterministic corpus whose
+    repeated word shapes force equal pair counts and interacting
+    candidates (the cases the gap-truncation exists for)."""
+    import random
+
+    from powershap_spark.operators.text import bpe_learn
+
+    rng = random.Random(11)
+    syll = ["ab", "ba", "ac", "ca", "bc", "cb", "aa", "bb"]
+    texts = [
+        " ".join(
+            "".join(rng.choice(syll) for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    seq = bpe_learn(docs, n_merges=24, batch_size=1).toPandas()
+    for bs in (2, 4, 8):
+        got = bpe_learn(docs, n_merges=24, batch_size=bs).toPandas()
+        assert got.values.tolist() == seq.values.tolist(), f"batch_size={bs}"
+    with pytest.raises(ValueError):
+        bpe_learn(docs, n_merges=3, batch_size=0)
+
+
 def test_token_shift_and_corpus_divergence_match_reference(spark):
     """Both drift operators == a pure-python recomputation over the same
     tokenization: exact corpus frequencies, JS divergence with the
