@@ -165,6 +165,32 @@ def q_past_target_encode(spark, sf_dir):
     )
 
 
+def q_range_join_events(spark, sf_dir):
+    """Context-window (range) join: every same-user event in the 30
+    minutes up to and including each purchase — the all-matches companion
+    to the as-of join's latest-match (operators/rangejoin.py). Scale path:
+    time-bucketed equi-join on (user_id, bucket) with the exact predicate
+    as a residual — never a per-key cross product (plan pytest). The
+    DuckDB oracle is the naive BETWEEN join (same semantics, oracle-scale
+    plan); gaps compare on integer event-time micros."""
+    from powershap_spark.operators.rangejoin import range_join
+
+    e = _read(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("probe_id")
+    )
+    ctx = e.select("user_id", "ts", "event_id", "event_type")
+    out = range_join(probes, ctx, "user_id", before=1800.0, after=0.0)
+    lt = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    rt = F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+    return out.select(
+        "probe_id",
+        F.col("event_id").alias("ctx_event_id"),
+        F.col("event_type").alias("ctx_type"),
+        (lt - rt).alias("gap_us"),
+    )
+
+
 def q_session_gap_sessionize(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1724,7 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stumps_selection": q_stumps_selection,
         "transcript_features": q_transcript_features,
         "pit_matrix_events": q_pit_matrix_events,
-        # -- 2b: emission / oracle changed this round (the six r6 reds) --
+        # -- 2b: new this round --
+        "range_join_events": q_range_join_events,
+        # -- 2c: emission / oracle changed this round (the six r6 reds) --
         "past_target_encode_events": q_past_target_encode,
         "bpe_encode_documents": q_bpe_encode_documents,
         "vocab_ids_documents": q_vocab_ids_documents,
@@ -1764,9 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
         "pack_contiguous_documents": q_pack_contiguous_documents,
-        "shuffle_shards_documents": q_shuffle_shards_documents,
         # ---- driver window (50) ends here ------------------------------
         # -- 5: long-stable tail (local gate still runs all of these) ----
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "pricing_summary": q_pricing_summary,
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
         "token_shift_documents": q_token_shift_documents,
@@ -2341,6 +2369,17 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
                      AS BIGINT) AS session_seq
             FROM g
+        """,
+        "range_join_events": """
+            SELECT l.event_id AS probe_id,
+                   r.event_id AS ctx_event_id,
+                   r.event_type AS ctx_type,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 1800000000
+                                    AND epoch_us(l.ts)
+            WHERE l.event_type = 'purchase'
         """,
         "past_target_encode_events": """
             WITH e AS (

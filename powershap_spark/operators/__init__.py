@@ -1,4 +1,5 @@
 from .asof import asof_join, asof_join_broadcast, asof_join_bucketed
+from .rangejoin import range_join
 from .classifier import featurize_hashed, score_logreg, train_logreg
 from .curate import curate_corpus
 from .encode import past_target_encode
@@ -25,6 +26,7 @@ __all__ = [
     "asof_join",
     "asof_join_broadcast",
     "asof_join_bucketed",
+    "range_join",
     "canonicalize_url",
     "curate_corpus",
     "extract_html_text",
