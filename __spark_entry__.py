@@ -191,6 +191,30 @@ def q_range_join_events(spark, sf_dir):
     )
 
 
+def q_decayed_mean_events(spark, sf_dir):
+    """Strictly-past exponentially-decayed target mean per event_type
+    (operators/encode.decayed_past_mean): recency-weighted sibling of the
+    plain target encoding, weighting='halving' (discrete 2-day half-life
+    buckets). Determinism: the label is pre-scaled to an integer
+    (floor(v*1e4+0.5)) and the bucket weights are exact powers of two, so
+    BOTH windowed sums are exact long arithmetic — order-independent —
+    and the emitted mean is one IEEE division of identical operands on
+    both engines (the past_target_encode trick; 30-day span / 2-day
+    half-life keeps sums under 2^62 at every sf)."""
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    e = _read(spark, sf_dir, "events").withColumn(
+        "value_q", F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    )
+    out = decayed_past_mean(
+        e, key="event_type", label="value_q", ts="ts",
+        half_life_s=172800.0, weighting="halving",
+    )
+    return out.select(
+        "event_id", "event_type", "dm_cnt", F.col("dm_mean").alias("dm_mean_q")
+    )
+
+
 def q_session_gap_sessionize(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1752,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_matrix_events": q_pit_matrix_events,
         # -- 2b: new this round --
         "range_join_events": q_range_join_events,
+        "decayed_mean_events": q_decayed_mean_events,
         # -- 2c: emission / oracle changed this round (the six r6 reds) --
         "past_target_encode_events": q_past_target_encode,
         "bpe_encode_documents": q_bpe_encode_documents,
@@ -1791,9 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "corpus_stats_windowed": q_corpus_stats_windowed,
         "tfidf_keywords_documents": q_tfidf_keywords_documents,
-        "pack_contiguous_documents": q_pack_contiguous_documents,
         # ---- driver window (50) ends here ------------------------------
         # -- 5: long-stable tail (local gate still runs all of these) ----
+        "pack_contiguous_documents": q_pack_contiguous_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "pricing_summary": q_pricing_summary,
         "dedup_keep_best_documents": q_dedup_keep_best_documents,
@@ -2380,6 +2405,25 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 1800000000
                                     AND epoch_us(l.ts)
             WHERE l.event_type = 'purchase'
+        """,
+        "decayed_mean_events": """
+            WITH e AS (
+              SELECT *, epoch_us(ts) AS us,
+                     CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+              FROM events
+            ), b AS (
+              SELECT *, CAST(pow(2.0, floor(
+                       (us - min(us) OVER (PARTITION BY event_type))
+                       / 172800000000.0)) AS BIGINT) AS w
+              FROM e
+            )
+            SELECT event_id, event_type,
+                   count(vq * w) OVER wp AS dm_cnt,
+                   CAST(sum(vq * w) OVER wp AS DOUBLE)
+                     / CAST(sum(w) OVER wp AS DOUBLE) AS dm_mean_q
+            FROM b
+            WINDOW wp AS (PARTITION BY event_type ORDER BY us
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
         "past_target_encode_events": """
             WITH e AS (

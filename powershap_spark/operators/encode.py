@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .salted import salted_cumsum
 
-__all__ = ["past_target_encode"]
+__all__ = ["decayed_past_mean", "past_target_encode"]
 
 
 def _event_micros(ts: str) -> Column:
@@ -153,3 +153,81 @@ def past_target_encode(
         )
         .drop("__sum_past", "__cnt_past")
     )
+
+
+def decayed_past_mean(
+    df: DataFrame,
+    key: str = "event_type",
+    label: str = "value",
+    ts: str = "ts",
+    half_life_s: float = 86400.0,
+    out_prefix: str = "dm",
+    weighting: str = "exp",
+) -> DataFrame:
+    """Strictly-past EXPONENTIALLY-DECAYED mean of ``label`` per ``key`` —
+    the recency-weighted sibling of ``past_target_encode``: a row's
+    encoding is ``sum(v_i * w_i) / sum(w_i)`` over STRICTLY EARLIER
+    same-key rows, where ``w_i`` halves per ``half_life_s`` of age. The
+    leakage contract is identical (RANGE frame on integer event-time
+    micros ending at -1; simultaneous rows never see each other).
+
+    The per-row normalization cancels: with ``s_i = (t_i - t0) / h``
+    (``t0`` = per-key min event time, a full-frame window min on the
+    SAME partitioning — no extra shuffle), ``w_i = 2^{s_i}`` gives
+    ``sum(v_i 2^{s_i}) / sum(2^{s_i})`` whose implicit ``2^{-t/h}``
+    factor divides out — so the decayed mean is TWO windowed sums and
+    one division, no per-row recompute over history. The ``t0`` rebase
+    keeps ``2^{s}`` in double range; spans beyond ~900 half-lives per
+    key overflow to inf (document/raise at the pipeline layer; a
+    chunked renormalization belongs to salted_cumsum territory if ever
+    needed).
+
+    ``weighting``:
+
+    - ``"exp"`` — continuous decay ``2^{(t_i - t0)/h}`` (float weights;
+      the numerically honest variant, pinned against a pandas replica).
+    - ``"halving"`` — DISCRETE decay by whole half-life buckets:
+      ``2^{floor((t_i - t0)/h)}`` as an exact BIGINT weight (a power of
+      two is exact in double and in the long cast). With an integer
+      label both windowed sums are exact integer arithmetic —
+      order-independent and bit-identical across engines, the same
+      determinism trick as the ``past_target_encode`` driver query
+      (keep ``sum(|label|) * 2^{span/h}`` under 2^62).
+
+    Appends ``{out_prefix}_cnt`` (past non-null labels) and
+    ``{out_prefix}_mean`` (null when no past rows). Null labels
+    contribute to neither sum.
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    if weighting not in ("exp", "halving"):
+        raise ValueError(f"unknown weighting {weighting!r}")
+    cnt_col, mean_col = f"{out_prefix}_cnt", f"{out_prefix}_mean"
+
+    em = _event_micros(ts)
+    t0 = F.min(em).over(Window.partitionBy(key))
+    s = (em - t0) / F.lit(float(half_life_s) * 1e6)
+    if weighting == "halving":
+        w: Column = F.pow(F.lit(2.0), F.floor(s).cast("double")).cast("long")
+    else:
+        w = F.pow(F.lit(2.0), s)
+    lab = F.col(label)
+    d = df.select(
+        "*",
+        F.when(lab.isNotNull(), lab * w).alias("__dm_vw"),
+        F.when(lab.isNotNull(), w).alias("__dm_w"),
+        em.alias("__dm_us"),
+    )
+    wp = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__dm_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    num = F.sum("__dm_vw").over(wp)
+    den = F.sum("__dm_w").over(wp)
+    out = d.select(
+        "*",
+        F.count("__dm_w").over(wp).alias(cnt_col),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(mean_col),
+    )
+    return out.drop("__dm_vw", "__dm_w", "__dm_us")

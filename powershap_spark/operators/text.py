@@ -868,13 +868,22 @@ def build_vocab(
     bounded merge), never a full corpus-vocabulary sort; the final
     row_number windows over the already-``size``-bounded relation (a
     vocab-sized single task by construction, NOT corpus-sized — the same
-    bounded-driver-action discipline as the BPE argmax)."""
+    bounded-driver-action discipline as the BPE argmax).
+
+    ``text_col`` may be a STRING column (tokenized with the module's
+    shared ``_tokens``) or an ``array<string>`` column of pre-tokenized
+    tokens (e.g. ``bpe_encode`` output) — the array path explodes
+    directly, skipping a corpus-sized join+resplit round-trip."""
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}")
     from pyspark.sql import Window
 
+    dt = docs.schema[text_col].dataType
+    toks = (
+        F.col(text_col) if dt.typeName() == "array" else _tokens(text_col)
+    )
     counts = (
-        docs.select(F.explode(_tokens(text_col)).alias("token"))
+        docs.select(F.explode(toks).alias("token"))
         # the literal unk_token in corpus text must not rank: a second
         # vocab row for it would double-match every occurrence in
         # tokens_to_ids' join (duplicated positions). Zero-length tokens

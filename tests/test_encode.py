@@ -148,3 +148,132 @@ def test_plain_path_plan_single_exchange_sort(events):
     n_sort = plan.count("Sort [")
     assert n_ex == 1, plan
     assert n_sort == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# decayed_past_mean
+# ---------------------------------------------------------------------------
+
+
+def _decay_replica(pdf, half_life_s, weighting):
+    """Direct per-row recompute: weighted mean of strictly earlier
+    same-key labels with w = 2^{-(age)/h} (exp) or 2^{-floor-bucket
+    distance} via the same rebased formulation the operator uses."""
+    h_us = half_life_s * 1e6
+    us = pdf.ts.astype("int64") // 1000  # ns -> us
+    cnts, means = [], []
+    for i, r in pdf.iterrows():
+        m = (pdf.event_type == r.event_type) & (us < us[i]) & pdf.value.notna()
+        cnts.append(int(m.sum()))
+        if not m.sum():
+            means.append(np.nan)
+            continue
+        t0 = us[pdf.event_type == r.event_type].min()
+        s = (us[m] - t0) / h_us
+        if weighting == "halving":
+            w = np.power(2.0, np.floor(s))
+        else:
+            w = np.power(2.0, s)
+        means.append(float((pdf.value[m] * w).sum() / w.sum()))
+    return np.asarray(cnts), np.asarray(means)
+
+
+@pytest.mark.parametrize("weighting", ["exp", "halving"])
+def test_decayed_past_mean_matches_replica(spark, weighting):
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    pdf = _events_pdf(n=300, ts_span_s=3600)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        decayed_past_mean(
+            sdf, half_life_s=600.0, weighting=weighting
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want_cnt, want_mean = _decay_replica(pdf, 600.0, weighting)
+    assert (got["dm_cnt"].to_numpy() == want_cnt).all()
+    np.testing.assert_allclose(
+        got["dm_mean"].to_numpy(), want_mean, rtol=1e-9, equal_nan=True
+    )
+
+
+def test_decayed_past_mean_recency_weighting_and_leakage(spark):
+    """A recent past value dominates an old one; simultaneous rows never
+    see each other; a row never sees itself or the future."""
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "event_type": ["a"] * 5,
+            "value": [100.0, 0.0, 50.0, 50.0, 999.0],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # old: 100
+                    "2024-01-01 02:00:00",  # recent: 0
+                    "2024-01-01 02:00:10",  # probe row
+                    "2024-01-01 02:00:10",  # simultaneous with probe
+                    "2024-01-01 03:00:00",  # future
+                ]
+            ),
+        }
+    )
+    got = (
+        decayed_past_mean(
+            spark.createDataFrame(pdf), half_life_s=600.0, weighting="exp"
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    # probe sees ONLY rows 0 and 1; the old 100 sits 12 half-lives back
+    # (weight 2^-12 relative to the recent 0), so the decayed mean is
+    # exactly 100 / (1 + 2^12) — vs the unweighted mean of 50
+    assert got.loc[2, "dm_cnt"] == 2
+    assert np.isclose(got.loc[2, "dm_mean"], 100.0 / (1 + 2**12), rtol=1e-12)
+    # simultaneous rows have identical encodings (neither sees the other)
+    assert got.loc[2, "dm_mean"] == got.loc[3, "dm_mean"]
+    # first row has no past
+    assert got.loc[0, "dm_cnt"] == 0 and np.isnan(got.loc[0, "dm_mean"])
+
+
+def test_decayed_past_mean_halving_exact_integer_path(spark):
+    """With an integer label the halving variant's windowed sums are exact
+    long arithmetic — the engine-identical determinism path the driver
+    query rides. Verify against exact python ints."""
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "event_type": ["a"] * 6,
+            "v": np.array([3, 5, 7, 11, 13, 17], dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([0, 600, 1200, 1800, 2400, 3000], unit="s"),
+        }
+    )
+    got = (
+        decayed_past_mean(
+            spark.createDataFrame(pdf),
+            label="v",
+            half_life_s=600.0,
+            weighting="halving",
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    vals = [3, 5, 7, 11, 13, 17]
+    for i in range(1, 6):
+        num = sum(v * (1 << b) for b, v in enumerate(vals[:i]))
+        den = sum(1 << b for b in range(i))
+        assert got.loc[i, "dm_mean"] == num / den, i
+
+
+def test_decayed_past_mean_validation(spark):
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    sdf = spark.createDataFrame(_events_pdf(n=10))
+    with pytest.raises(ValueError):
+        decayed_past_mean(sdf, half_life_s=0)
+    with pytest.raises(ValueError):
+        decayed_past_mean(sdf, weighting="linear")

@@ -1736,3 +1736,20 @@ def test_build_vocab_and_tokens_to_ids(spark):
         tokens_to_ids(toks, vocab, method="bogus")
     with pytest.raises(ValueError):
         build_vocab(docs, size=0)
+
+
+def test_build_vocab_accepts_pretokenized_arrays(spark):
+    """build_vocab over an array<string> column must equal build_vocab
+    over the equivalent text (the array path skips the corpus-sized
+    join+resplit round-trip the chain bench paid)."""
+    from powershap_spark.operators.text import _tokens, build_vocab
+
+    texts = ["low lower low", "newer lower newest", "", "low newer"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    via_text = build_vocab(docs, size=8).toPandas()
+    toks = docs.select("doc_id", _tokens("text").alias("tokens"))
+    via_arr = build_vocab(toks, size=8, text_col="tokens").toPandas()
+    assert via_text.sort_values("id").values.tolist() == \
+        via_arr.sort_values("id").values.tolist()

@@ -158,8 +158,7 @@ def s4():
         bpe_encode(filt, _BPE_RULES, method="dict")
         .select("doc_id", "tokens").persist()
     )
-    vocab = build_vocab(
-        flat.select("doc_id", F.array_join("tokens", " ").alias("text")), size=1024)
+    vocab = build_vocab(flat, size=1024, text_col="tokens")
     return tokens_to_ids(flat, vocab)
 ids, n_tok = timed("bpe_encode_vocab_ids", s4)
 n_tokens = ids.select(F.sum(F.size("input_ids"))).collect()[0][0]
