@@ -271,6 +271,24 @@ def main():
     )
     fsrc.unpersist()
 
+    sections.append(
+        (
+            "time-range (interval) join (bucketed equi-join on (key, "
+            "bucket) + residual range predicate — bounded right-row "
+            "replication, no CartesianProduct)",
+            plan_of(em.q_range_join_events(spark, sf)),
+        )
+    )
+
+    sections.append(
+        (
+            "decayed strictly-past mean (full-frame per-key min + two "
+            "range-frame sums share ONE exchange; exact power-of-two "
+            "long weights)",
+            plan_of(em.q_decayed_mean_events(spark, sf)),
+        )
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plans (explain 'formatted') — pushdown / broadcast /"
