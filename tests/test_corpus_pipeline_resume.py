@@ -1,0 +1,101 @@
+"""CorpusPipeline: staged checkpoint/resume for the crawl-to-tensors
+chain — completed stages load from parquet and their stage functions are
+NEVER re-invoked; a crash mid-chain resumes after the last durable stage;
+a changed chain invalidates from the first mismatch."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from powershap_spark.corpus import CorpusPipeline, Stage
+
+
+def _counting_stages(calls):
+    def src(spark, prev):
+        calls.append("src")
+        assert prev is None
+        return spark.range(100).withColumnRenamed("id", "doc_id")
+
+    def doubled(spark, prev):
+        calls.append("doubled")
+        return prev.withColumn("v", F.col("doc_id") * 2)
+
+    def gated(spark, prev):
+        calls.append("gated")
+        return prev.filter(F.col("v") % 4 == 0)
+
+    return [
+        Stage("src", src),
+        Stage("doubled", doubled),
+        Stage("gated", gated, repartition=2),
+    ]
+
+
+def test_chain_runs_and_resume_skips_completed(spark, tmp_path):
+    calls: list[str] = []
+    pipe = CorpusPipeline(str(tmp_path), "run1", _counting_stages(calls))
+    out = pipe.run(spark)
+    assert out.count() == 50
+    assert calls == ["src", "doubled", "gated"]
+    assert pipe.completed() == ["src", "doubled", "gated"]
+
+    # full resume: nothing recomputes, result identical from parquet
+    calls2: list[str] = []
+    pipe2 = CorpusPipeline(str(tmp_path), "run1", _counting_stages(calls2))
+    out2 = pipe2.run(spark)
+    assert calls2 == []
+    a = sorted(out.toPandas().values.tolist())
+    b = sorted(out2.toPandas().values.tolist())
+    assert a == b
+
+    # lineage: one metrics line per stage with rows + wall
+    m = pipe2.metrics()
+    assert [r["stage"] for r in m] == ["src", "doubled", "gated"]
+    assert all(r["rows"] > 0 and r["wall_s"] >= 0 for r in m)
+
+
+def test_crash_mid_chain_resumes_after_last_durable_stage(spark, tmp_path):
+    calls: list[str] = []
+    stages = _counting_stages(calls)
+
+    def boom(spark_, prev):
+        calls.append("boom")
+        raise RuntimeError("tokenizer OOM")
+
+    crashing = stages[:2] + [Stage("gated", boom)]
+    pipe = CorpusPipeline(str(tmp_path), "run2", crashing)
+    with pytest.raises(RuntimeError, match="tokenizer OOM"):
+        pipe.run(spark)
+    assert pipe.completed() == ["src", "doubled"]
+
+    # resume with the fixed stage: only the failed stage runs
+    calls2: list[str] = []
+    pipe2 = CorpusPipeline(str(tmp_path), "run2", _counting_stages(calls2))
+    out = pipe2.run(spark)
+    assert calls2 == ["gated"]
+    assert out.count() == 50
+
+
+def test_changed_chain_invalidates_from_first_mismatch(spark, tmp_path):
+    calls: list[str] = []
+    CorpusPipeline(str(tmp_path), "run3", _counting_stages(calls)).run(spark)
+
+    # rename stage 2: its marker path no longer matches -> stages 2+ rerun
+    calls2: list[str] = []
+    stages = _counting_stages(calls2)
+    renamed = [
+        stages[0],
+        Stage("doubled_v2", stages[1].fn),
+        stages[2],
+    ]
+    out = CorpusPipeline(str(tmp_path), "run3", renamed).run(spark)
+    assert calls2 == ["doubled", "gated"]  # src still served from parquet
+    assert out.count() == 50
+
+
+def test_validation(tmp_path):
+    with pytest.raises(ValueError):
+        CorpusPipeline(str(tmp_path), "r", [])
+    s = Stage("a", lambda sp, p: None)
+    with pytest.raises(ValueError):
+        CorpusPipeline(str(tmp_path), "r", [s, Stage("a", lambda sp, p: None)])
