@@ -163,6 +163,8 @@ def decayed_past_mean(
     half_life_s: float = 86400.0,
     out_prefix: str = "dm",
     weighting: str = "exp",
+    grouped: bool = False,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Strictly-past EXPONENTIALLY-DECAYED mean of ``label`` per ``key`` —
     the recency-weighted sibling of ``past_target_encode``: a row's
@@ -197,37 +199,110 @@ def decayed_past_mean(
     Appends ``{out_prefix}_cnt`` (past non-null labels) and
     ``{out_prefix}_mean`` (null when no past rows). Null labels
     contribute to neither sum.
-    """
+
+    ``grouped`` / ``chunk_size`` select the same hot-key scale paths as
+    ``past_target_encode``: the weight is CONSTANT within a (key, ts)
+    group, so partials collapse map-side to ``(w*sum_v, w*cnt, cnt)``
+    per distinct timestamp — the expanding pass then runs over the
+    grouped rows (partition size = distinct timestamps per key), and
+    ``chunk_size`` routes it through ``salted_cumsum`` so a key with
+    billions of distinct timestamps never serializes. halving+integer
+    labels stay exact on every path; the exp path's float sums re-
+    associate across groups (allclose, pinned)."""
     if half_life_s <= 0:
         raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
     if weighting not in ("exp", "halving"):
         raise ValueError(f"unknown weighting {weighting!r}")
+    if chunk_size is not None and not grouped:
+        raise ValueError("chunk_size only applies to the grouped path")
     cnt_col, mean_col = f"{out_prefix}_cnt", f"{out_prefix}_mean"
 
-    em = _event_micros(ts)
-    t0 = F.min(em).over(Window.partitionBy(key))
-    s = (em - t0) / F.lit(float(half_life_s) * 1e6)
-    if weighting == "halving":
-        w: Column = F.pow(F.lit(2.0), F.floor(s).cast("double")).cast("long")
-    else:
-        w = F.pow(F.lit(2.0), s)
+    def _weight(em: Column, t0: Column) -> Column:
+        s = (em - t0) / F.lit(float(half_life_s) * 1e6)
+        if weighting == "halving":
+            return F.pow(F.lit(2.0), F.floor(s).cast("double")).cast("long")
+        return F.pow(F.lit(2.0), s)
+
     lab = F.col(label)
-    d = df.select(
-        "*",
-        F.when(lab.isNotNull(), lab * w).alias("__dm_vw"),
-        F.when(lab.isNotNull(), w).alias("__dm_w"),
-        em.alias("__dm_us"),
+    if not grouped:
+        em = _event_micros(ts)
+        w = _weight(em, F.min(em).over(Window.partitionBy(key)))
+        d = df.select(
+            "*",
+            F.when(lab.isNotNull(), lab * w).alias("__dm_vw"),
+            F.when(lab.isNotNull(), w).alias("__dm_w"),
+            em.alias("__dm_us"),
+        )
+        wp = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__dm_us"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        num = F.sum("__dm_vw").over(wp)
+        den = F.sum("__dm_w").over(wp)
+        out = d.select(
+            "*",
+            F.count("__dm_w").over(wp).alias(cnt_col),
+            F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+                mean_col
+            ),
+        )
+        return out.drop("__dm_vw", "__dm_w", "__dm_us")
+
+    # grouped path: map-side-combined (key, ts) partials; ts is DISTINCT
+    # within a key post-group, so the exclusive ROWS frame over ts order
+    # IS the strictly-past RANGE frame
+    g = df.groupBy(key, ts).agg(
+        F.sum(lab).alias("__s"), F.count(lab).alias("__c")
     )
-    wp = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__dm_us"))
-        .rangeBetween(Window.unboundedPreceding, -1)
+    gem = _event_micros(ts)
+    w = _weight(gem, F.min(gem).over(Window.partitionBy(key)))
+    g = g.select(
+        key,
+        ts,
+        F.when(F.col("__c") > 0, F.col("__s") * w).alias("__vw"),
+        F.when(F.col("__c") > 0, w * F.col("__c")).alias("__ww"),
+        F.col("__c"),
     )
-    num = F.sum("__dm_vw").over(wp)
-    den = F.sum("__dm_w").over(wp)
-    out = d.select(
-        "*",
-        F.count("__dm_w").over(wp).alias(cnt_col),
-        F.when(den > 0, num.cast("double") / den.cast("double")).alias(mean_col),
+    if chunk_size is None:
+        wg = (
+            Window.partitionBy(key)
+            .orderBy(_event_micros(ts))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gp = g.select(
+            key,
+            ts,
+            F.sum("__vw").over(wg).alias("__num"),
+            F.sum("__ww").over(wg).alias("__den"),
+            F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__cnt"),
+        )
+    else:
+        zero = F.lit(0).cast("long") if weighting == "halving" else F.lit(0.0)
+        gp = salted_cumsum(
+            g, F.coalesce(F.col("__vw"), zero), "__num",
+            entity=key, order=ts, chunk_size=chunk_size, upper=-1,
+        )
+        gp = salted_cumsum(
+            gp, F.coalesce(F.col("__ww"), zero), "__den",
+            entity=key, order=ts, chunk_size=chunk_size, upper=-1,
+        )
+        gp = salted_cumsum(
+            gp, "__c", "__cnt",
+            entity=key, order=ts, chunk_size=chunk_size, upper=-1,
+        ).select(
+            key, ts, "__num", "__den",
+            F.col("__cnt").cast("long").alias("__cnt"),
+        )
+    out = df.join(gp.select(key, ts, "__num", "__den", "__cnt"), [key, ts], "left")
+    return (
+        out.withColumn(cnt_col, F.coalesce(F.col("__cnt"), F.lit(0)))
+        .withColumn(
+            mean_col,
+            F.when(
+                F.col("__den") > 0,
+                F.col("__num").cast("double") / F.col("__den").cast("double"),
+            ),
+        )
+        .drop("__num", "__den", "__cnt")
     )
-    return out.drop("__dm_vw", "__dm_w", "__dm_us")

@@ -277,3 +277,45 @@ def test_decayed_past_mean_validation(spark):
         decayed_past_mean(sdf, half_life_s=0)
     with pytest.raises(ValueError):
         decayed_past_mean(sdf, weighting="linear")
+
+
+@pytest.mark.parametrize("weighting", ["exp", "halving"])
+def test_decayed_past_mean_grouped_and_chunked_parity(spark, weighting):
+    """The grouped (key, ts)-partials path and the salted-chunked path
+    must equal the plain window path — exactly for halving (integer
+    weights re-associate losslessly over integer labels), to float
+    re-association tolerance for exp."""
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    pdf = _events_pdf(n=300, ts_span_s=900)  # coarse ts => real groups
+    if weighting == "halving":
+        pdf = pdf.assign(value=np.where(
+            pdf.value.isna(), np.nan, (pdf.value * 1000).round()))
+    sdf = spark.createDataFrame(pdf)
+    kw = dict(half_life_s=120.0, weighting=weighting)
+    base = (
+        decayed_past_mean(sdf, **kw).orderBy("event_id").toPandas()
+    )
+    for extra in ({"grouped": True}, {"grouped": True, "chunk_size": 16}):
+        got = (
+            decayed_past_mean(sdf, **kw, **extra)
+            .orderBy("event_id")
+            .toPandas()
+        )
+        assert (got["dm_cnt"].to_numpy() == base["dm_cnt"].to_numpy()).all()
+        if weighting == "halving":
+            # integer labels scaled 1e3: exact on every path
+            a = got["dm_mean"].to_numpy()
+            b = base["dm_mean"].to_numpy()
+            both = ~(np.isnan(a) | np.isnan(b))
+            assert (np.isnan(a) == np.isnan(b)).all()
+            assert (a[both] == b[both]).all(), extra
+        else:
+            np.testing.assert_allclose(
+                got["dm_mean"].to_numpy(),
+                base["dm_mean"].to_numpy(),
+                rtol=1e-12,
+                equal_nan=True,
+            )
+    with pytest.raises(ValueError):
+        decayed_past_mean(sdf, chunk_size=8)
