@@ -685,3 +685,202 @@ def streaming_corpus_stats(
             "n_tokens",
         )
     )
+
+
+_DM_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("dm_cnt", LongType()),
+        StructField("dm_mean", DoubleType()),
+    ]
+)
+
+# register referenced at last_us: num = sum(v_i * 2^{-(last-t_i)/h}),
+# den likewise over unit weights — every stored magnitude is <= the raw
+# running totals, so the state NEVER grows numerically across batches
+_DM_STATE = StructType(
+    [
+        StructField("last_ns", LongType()),
+        StructField("num", DoubleType()),
+        StructField("den", DoubleType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def streaming_decayed_mean(
+    events: DataFrame,
+    half_life_s: float = 86400.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    state_ttl_minutes: float | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Online decayed-mean register — the streaming counterpart of the
+    batch ``decayed_past_mean`` (exp weighting): each arriving event
+    (key, ts, value) is emitted with the exponentially-decayed mean of
+    STRICTLY EARLIER same-key values as known AT ARRIVAL, then folded
+    into a four-number register (last event time, decayed value sum,
+    decayed weight sum, count) — the online feature store's EWMA cell.
+    State per key is ONE row whose magnitudes never exceed the raw
+    running totals (sums are stored decayed to the register's own event
+    time), so an endless feed cannot overflow the register.
+
+    Semantics vs batch: identical (allclose — float association differs)
+    when the stream is delivered in event-time order, parity-tested
+    across microbatch slicings like ``streaming_turn_features``. Rows
+    arriving LATE relative to the register (ts <= the register's last
+    event time — a tie may already be blended in, and strictly-past must
+    exclude it) cannot be served their strictly-past mean anymore — the
+    register has already blended newer values irreversibly — so they are
+    emitted with NULL ``dm_cnt``/``dm_mean`` but still FOLDED into the
+    register with their correct (sub-unit) weight: subsequent rows see
+    them exactly as the batch operator would. Within a batch,
+    simultaneous rows never see each other (strictly-earlier
+    ``searchsorted``), matching the batch RANGE-frame contract.
+
+    Vectorized fold, no per-row Python: one sort per microbatch slice,
+    weights rebased to the slice's first event time (prefix sums of
+    ``v*2^{(t_i-t0)/h}``), the per-row ``2^{-(t-t0)/h}`` normalization
+    cancelling in the mean — the same algebra as the batch operator.
+    Keep a slice's event-time span under ~900 half-lives (the rebased
+    weights are doubles); the REGISTER itself is span-proof.
+
+    ``state_ttl_minutes``: same event-time TTL/eviction contract as
+    ``streaming_point_in_time_join`` — an idle key's register is dropped
+    once the watermark passes its last activity + TTL, and the key
+    restarts cold."""
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    h_ns = float(half_life_s) * 1e9
+
+    u = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    if ttl_ms:
+        u = u.withWatermark("ts", watermark_delay)
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ns, num_c, den_c, cnt_c = (
+            state.get if state.exists else (None, 0.0, 0.0, 0)
+        )
+        max_ms = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if ttl_ms:
+                m = pdf["ts"].max()
+                if not pd.isna(m):
+                    mm = int(pd.Timestamp(m).value // 1_000_000)
+                    max_ms = mm if max_ms is None else max(max_ms, mm)
+            pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+            tns = pdf["ts"].astype("int64").to_numpy()
+            v = pdf["value"].to_numpy(dtype=float)
+            ok = ~np.isnan(v)
+            # ts EQUAL to the register's last event time is late too: a
+            # simultaneous value may already be blended into the register,
+            # and strictly-past must exclude it — order batch cuts between
+            # distinct timestamps to avoid null emissions on ties
+            late = (
+                tns <= last_ns if last_ns is not None else np.zeros(len(tns), bool)
+            )
+
+            out_cnt = np.full(len(tns), np.nan)
+            out_mean = np.full(len(tns), np.nan)
+            live = ~late
+            # fold late rows into the carry FIRST (their ts <= last_ns, so
+            # the weight 2^{(t-last)/h} is sub-unit and exact): live rows
+            # of this very batch must already see them, exactly as the
+            # batch operator would
+            if late.any():
+                okl = ok & late
+                w_late = np.where(
+                    okl, np.power(2.0, (tns - last_ns) / h_ns), 0.0
+                )
+                num_c += float((np.nan_to_num(v) * w_late).sum())
+                den_c += float(w_late.sum())
+                cnt_c = int(cnt_c) + int(okl.sum())
+            if live.any():
+                t0 = int(tns[live][0])
+                b = np.power(2.0, (tns - t0) / h_ns)
+                a = np.where(ok & live, np.nan_to_num(v) * b, 0.0)
+                wgt = np.where(ok & live, b, 0.0)
+                c = (ok & live).astype(np.int64)
+                csum_a = np.concatenate(([0.0], np.cumsum(a)))
+                csum_w = np.concatenate(([0.0], np.cumsum(wgt)))
+                csum_c = np.concatenate(([0], np.cumsum(c)))
+                k = np.searchsorted(tns, tns, side="left")  # strictly earlier
+                carry_ref = (
+                    np.power(2.0, (last_ns - t0) / h_ns)
+                    if last_ns is not None
+                    else 0.0
+                )
+                num_i = num_c * carry_ref + csum_a[k]
+                den_i = den_c * carry_ref + csum_w[k]
+                cnt_i = cnt_c + csum_c[k]
+                pos = den_i > 0
+                out_mean[live & pos] = (num_i / np.where(pos, den_i, 1.0))[
+                    live & pos
+                ]
+                out_cnt[live] = cnt_i[live]
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "dm_cnt": pd.array(
+                        [None if np.isnan(x) else int(x) for x in out_cnt],
+                        dtype="Int64",
+                    ),
+                    "dm_mean": out_mean,
+                }
+            )
+            # fold the LIVE rows into the register (late rows were folded
+            # into the carry above), referenced at the new last event
+            new_last = int(max(tns.max(), last_ns if last_ns is not None else 0))
+            d_carry = (
+                np.power(2.0, (last_ns - new_last) / h_ns)
+                if last_ns is not None
+                else 0.0
+            )
+            okv = ok & live
+            w_new = np.where(okv, np.power(2.0, (tns - new_last) / h_ns), 0.0)
+            num_c = num_c * d_carry + float((np.nan_to_num(v) * w_new).sum())
+            den_c = den_c * d_carry + float(w_new.sum())
+            cnt_c = int(cnt_c) + int(okv.sum())
+            last_ns = new_last
+        if last_ns is not None:
+            state.update((int(last_ns), float(num_c), float(den_c), int(cnt_c)))
+        if ttl_ms and state.exists:
+            wm = state.getCurrentWatermarkMs()
+            cand = (max_ms + ttl_ms) if max_ms is not None else (
+                wm + ttl_ms if wm > 0 else None
+            )
+            if cand is not None:
+                state.setTimeoutTimestamp(max(cand, wm + 1))
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+    return u.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=_DM_OUT,
+        stateStructType=_DM_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

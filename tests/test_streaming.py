@@ -913,3 +913,126 @@ def test_streaming_corpus_stats_parity_and_late_merge(spark, tmp_path):
     # append mode withheld the open windows (01:00, 02:00, 03:00 starts)
     assert len(got) < len(batch_df)
     assert got.window_start.max() == pd.Timestamp("2024-01-01 00:00:00")
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_streaming_decayed_mean_matches_batch(spark, tmp_path, n_batches):
+    """streaming_decayed_mean == decayed_past_mean (exp weighting) across
+    microbatch slicings on event-time-ordered delivery with batch cuts
+    between distinct timestamps — the documented online parity contract."""
+    from powershap_spark.operators.encode import decayed_past_mean
+    from powershap_spark.streaming import (
+        run_stream_to_table,
+        streaming_decayed_mean,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.choice(["u1", "u2", "u3"], n),
+            # distinct timestamps (unique seconds) so slicing by time
+            # ranges never cuts through a tie
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.permutation(n * 3)[:n], unit="s"),
+            "value": np.where(
+                rng.random(n) < 0.08, np.nan, rng.normal(size=n).round(3)
+            ),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+
+    src = str(tmp_path / f"dm_src_{n_batches}")
+    os.makedirs(src)
+    for chunk in np.array_split(np.arange(n), n_batches):
+        part = spark.createDataFrame(pdf.iloc[chunk])
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, value double"
+    ).parquet(src)
+    if n_batches > 1:
+        stream = spark.readStream.schema(
+            "user_id string, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_decayed_mean(stream, half_life_s=120.0, key_col="user_id")
+    run_stream_to_table(out, f"dm_out_{n_batches}", str(tmp_path / "ck"))
+    got = (
+        spark.sql(f"select * from dm_out_{n_batches}")
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got["dm_mean"].notna().sum() > 0
+
+    exp = (
+        decayed_past_mean(
+            spark.createDataFrame(pdf),
+            key="user_id",
+            label="value",
+            ts="ts",
+            half_life_s=120.0,
+            weighting="exp",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert (got["dm_cnt"].to_numpy() == exp["dm_cnt"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["dm_mean"].astype(float).to_numpy(),
+        exp["dm_mean"].astype(float).to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+
+def test_streaming_decayed_mean_late_rows_fold_but_emit_null(spark, tmp_path):
+    """A row older than the register cannot be served (NULL emission) but
+    still folds in at its correct sub-unit weight: the next row's mean
+    includes it exactly as the batch operator would."""
+    from powershap_spark.streaming import (
+        run_stream_to_table,
+        streaming_decayed_mean,
+    )
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    b1 = pd.DataFrame(
+        {"user_id": ["u"], "ts": [base], "value": [10.0]}
+    )
+    b2 = pd.DataFrame(  # late vs the register (base - 60s), then a probe
+        {
+            "user_id": ["u", "u"],
+            "ts": [base - pd.Timedelta(seconds=60), base + pd.Timedelta(seconds=60)],
+            "value": [20.0, 30.0],
+        }
+    )
+    src = str(tmp_path / "dm_late_src")
+    os.makedirs(src)
+    for b in (b1, b2):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_decayed_mean(stream, half_life_s=60.0, key_col="user_id")
+    run_stream_to_table(out, "dm_late_out", str(tmp_path / "ck_late"))
+    got = (
+        spark.sql("select * from dm_late_out")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    # late row: folded but not served
+    assert pd.isna(got.loc[0, "dm_mean"]) and pd.isna(got.loc[0, "dm_cnt"])
+    # first row: cold start
+    assert got.loc[1, "dm_cnt"] == 0 and pd.isna(got.loc[1, "dm_mean"])
+    # probe at +60s sees BOTH values with exact batch weights:
+    # w(10.0 @ -60s) = 2^-1, w(20.0 @ -120s) = 2^-2
+    want = (10.0 * 0.5 + 20.0 * 0.25) / (0.5 + 0.25)
+    assert got.loc[2, "dm_cnt"] == 2
+    assert np.isclose(got.loc[2, "dm_mean"], want, rtol=1e-12)
