@@ -299,6 +299,23 @@ def write_report(n, sf, repeat):
         "  local dirs or a remote shuffle service.",
         "- The window exchange carries int32-only feature scalars (see",
         "  pipeline.turn_features) — the round-3 shuffle-byte cut.",
+        "- Operator-level N->4N cells beyond the flagship pipeline live in",
+        "  BENCH/ANALYSIS_r06.md: §7b (span dedup 0.58 / perplexity 0.69 /",
+        "  tf-idf 0.46 on a 150k-doc corpus) and §7c (WARC parse 0.52 —",
+        "  splittability measured on 16 files x 32 cores; html_extract 0.40",
+        "  at the DRAM wall; quality-classifier featurize 0.46 one-time vs",
+        "  0.74 recurring per-epoch, two-point decomposition). Same",
+        "  fresh-JVM interleaved min-of-N protocol as the cells above.",
+        "- The END-TO-END crawl-to-tensors chain (WARC -> extract -> scrub",
+        "  -> dedup -> perplexity gate -> BPE encode -> vocab ids ->",
+        "  contiguous pack -> epoch shuffle) has its own N->4N cell since",
+        "  round 7 (`tools/bench_corpus_chain.py`, BENCH/ANALYSIS_r07.md §3):",
+        "  320k pages / 56M tokens, 79.7 s at local[8] -> 55.2 s at",
+        "  local[32] (697k -> 1.01M tokens/s), efficiency 0.361 vs the",
+        "  box's ~0.49 streaming ceiling, with per-stage mins and the",
+        "  measured tokenize-variant progression (the inline projection",
+        "  scaled NEGATIVELY at 32 threads; the dict-vocabulary encode +",
+        "  array-input vocab build is the shipped shape).",
     ]
     name = "BASELINE.md" if _SF == 1.0 else f"BASELINE_sf{_SF:g}.md"
     with open(os.path.join(ROOT, "BENCH", name), "w") as f:
