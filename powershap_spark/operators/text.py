@@ -372,6 +372,7 @@ def lm_perplexity(
     sep: str = " ",
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: str = "window",
 ):
     """Corpus-trained n-gram LM quality score — the perplexity filter of
     CCNet (Wenzek et al., arXiv:1911.00359), self-trained: an add-k-
@@ -402,13 +403,32 @@ def lm_perplexity(
     The per-doc collapse is a partial+final avg.  Hash collisions merge a
     2^-64 fraction of distinct tokens/bigrams into one count — the repo's
     standard content-hash contract; the DuckDB oracle counts the token
-    STRINGS, so the value-green driver row is that contract's evidence."""
+    STRINGS, so the value-green driver row is that contract's evidence.
+
+    ``counts`` selects how the corpus-wide C1/C2 attach to the exploded
+    relation — identical counts (exact ints), different physical plans:
+
+    - ``"window"`` (default) — the two chained window counts above: the
+      exploded relation shuffles+SORTS twice, per-key state is one
+      count, nothing materializes.
+    - ``"join"`` — ``groupBy(hash).count()`` + equi-join back: map-side
+      combined aggregations and no sorts. MEASURED NEGATIVE at the chain
+      corpus (320k docs / 13M bigram positions, local[32], interleaved
+      min-of-3: 35.7 s vs 17.1 s for the window form — the exploded
+      relation pays FOUR exchanges here, two agg + two join, vs the
+      window form's two sort-exchanges; ANALYSIS_r07 §5). Kept opt-in
+      for genuinely zipf-heavy corpora where map-side combine collapses
+      the shuffle (this synthetic corpus's near-uniform bigrams give the
+      combiner nothing); counts are exact ints either way, so outputs
+      are value-identical (parity pytest)."""
     import re as _re
 
     from pyspark.sql import Window
 
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
+    if counts not in ("window", "join"):
+        raise ValueError(f"unknown counts mode {counts!r}")
 
     pat = _re.escape(sep)
     toks = F.split(F.col(text_col), pat, -1)
@@ -432,9 +452,14 @@ def lm_perplexity(
     ).agg(F.count_distinct("__th").alias("__V"))
 
     k = F.lit(float(add_k))
-    counted = ex.withColumn(
-        "__c2", F.count("*").over(Window.partitionBy("__bh"))
-    ).withColumn("__c1", F.count("*").over(Window.partitionBy("__ch")))
+    if counts == "window":
+        counted = ex.withColumn(
+            "__c2", F.count("*").over(Window.partitionBy("__bh"))
+        ).withColumn("__c1", F.count("*").over(Window.partitionBy("__ch")))
+    else:
+        c2 = ex.groupBy("__bh").agg(F.count("*").alias("__c2"))
+        c1 = ex.groupBy("__ch").agg(F.count("*").alias("__c1"))
+        counted = ex.join(c2, "__bh").join(c1, "__ch")
     scored = counted.crossJoin(F.broadcast(vocab)).select(
         id_col,
         F.log((F.col("__c2") + k) / (F.col("__c1") + k * F.col("__V"))).alias(

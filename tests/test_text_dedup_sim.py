@@ -1753,3 +1753,28 @@ def test_build_vocab_accepts_pretokenized_arrays(spark):
     via_arr = build_vocab(toks, size=8, text_col="tokens").toPandas()
     assert via_text.sort_values("id").values.tolist() == \
         via_arr.sort_values("id").values.tolist()
+
+
+def test_lm_perplexity_counts_join_parity(spark):
+    """counts="join" (groupBy+join corpus counts) must be value-identical
+    to the default window form — counts are exact ints, the score math
+    identical; only the physical plan differs (measured 2x slower on the
+    near-uniform synthetic corpus, kept opt-in — ANALYSIS_r07 §5)."""
+    from powershap_spark.operators.text import lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "zz qq xx vv",  # gibberish: high perplexity
+        "the the the the",
+        "",
+        "one",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    a = lm_perplexity(docs).orderBy("doc_id").toPandas()
+    b = lm_perplexity(docs, counts="join").orderBy("doc_id").toPandas()
+    assert a.fillna(-1).values.tolist() == b.fillna(-1).values.tolist()
+    with pytest.raises(ValueError):
+        lm_perplexity(docs, counts="broadcast")
