@@ -95,6 +95,17 @@ class CorpusPipeline:
         the final stage's DataFrame (loaded from parquet — the persisted
         copy IS the result, so a consumer crash later never recomputes)."""
         done = len(self.completed())
+        # drop any STALE markers beyond the contiguous prefix before
+        # recomputing: a renamed/reordered chain can leave a later stage's
+        # old marker at a path the NEW chain also uses (same index+name),
+        # and a crash mid-recompute would otherwise let the next resume
+        # treat the stale/partial parquet under it as completed — the
+        # marker must only ever cover bytes this run wrote
+        for i in range(done, len(self.stages)):
+            try:
+                os.remove(self._marker(i))
+            except FileNotFoundError:
+                pass
         prev: DataFrame | None = (
             spark.read.parquet(self._data_dir(done - 1)) if done else None
         )
@@ -103,7 +114,10 @@ class CorpusPipeline:
             t0 = time.perf_counter()
             out = st.fn(spark, prev)
             if st.repartition:
-                out = out.repartition(st.repartition)
+                # coalesce, not repartition: the goal is fewer/larger
+                # output files, which must not cost a full shuffle of the
+                # stage's rows
+                out = out.coalesce(st.repartition)
             data = self._data_dir(i)
             out.write.mode("overwrite").parquet(data)
             # reload from the persisted copy BEFORE declaring completion:

@@ -36,15 +36,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._time import event_micros as _event_micros
 from .salted import salted_cumsum
 
 __all__ = ["decayed_past_mean", "past_target_encode"]
-
-
-def _event_micros(ts: str) -> Column:
-    # integer microseconds: exact range-frame arithmetic (a double epoch
-    # loses sub-microsecond exactness at 1.7e9 s magnitudes)
-    return F.unix_micros(F.col(ts).cast("timestamp_ltz"))
 
 
 def _smooth(sum_past: Column, cnt_past: Column, prior, prior_weight) -> Column:
@@ -194,7 +189,9 @@ def decayed_past_mean(
       label both windowed sums are exact integer arithmetic —
       order-independent and bit-identical across engines, the same
       determinism trick as the ``past_target_encode`` driver query
-      (keep ``sum(|label|) * 2^{span/h}`` under 2^62).
+      (keep each ``|label| * 2^{span/h}`` product under 2^63 — ANSI
+      mode errors on long overflow — and the summed products under
+      2^62; exactness holds on every path, chunked included).
 
     Appends ``{out_prefix}_cnt`` (past non-null labels) and
     ``{out_prefix}_mean`` (null when no past rows). Null labels

@@ -44,15 +44,12 @@ test_plans.py). Timestamps compare on integer event-time microseconds
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._time import event_micros as _micros
+
 __all__ = ["range_join"]
-
-
-def _micros(col) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c.cast("timestamp_ltz"))
 
 
 def range_join(

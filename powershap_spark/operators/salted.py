@@ -83,9 +83,14 @@ def salted_cumsum(
     wc = Window.partitionBy(entity).orderBy("__chunk")
     prefix = chunk_tot.withColumn(
         "__prefix",
+        # the zero literal must not WIDEN the sum's type: a double zero
+        # promoted LONG sums to double, silently breaking the exact-
+        # integer contract of callers like decayed_past_mean's halving
+        # path above 2^53 (coalesce(long, int 0) stays long;
+        # coalesce(double, int 0) stays double)
         F.coalesce(
             F.sum("__chunk_sum").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("double"),
+            F.lit(0),
         ),
     ).select(entity, "__chunk", "__prefix")
 

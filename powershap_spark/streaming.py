@@ -851,8 +851,14 @@ def streaming_decayed_mean(
                 }
             )
             # fold the LIVE rows into the register (late rows were folded
-            # into the carry above), referenced at the new last event
-            new_last = int(max(tns.max(), last_ns if last_ns is not None else 0))
+            # into the carry above), referenced at the new last event —
+            # cold start takes the batch max verbatim (clamping to 0 would
+            # misclassify every pre-epoch/negative event time as late)
+            new_last = (
+                int(tns.max())
+                if last_ns is None
+                else int(max(tns.max(), last_ns))
+            )
             d_carry = (
                 np.power(2.0, (last_ns - new_last) / h_ns)
                 if last_ns is not None

@@ -99,3 +99,32 @@ def test_validation(tmp_path):
     s = Stage("a", lambda sp, p: None)
     with pytest.raises(ValueError):
         CorpusPipeline(str(tmp_path), "r", [s, Stage("a", lambda sp, p: None)])
+
+
+def test_stale_markers_cleared_before_recompute(spark, tmp_path):
+    """The r7 review scenario: a fully-completed chain is resumed with a
+    renamed middle stage and CRASHES on the last stage — the last stage's
+    OLD marker (same index+name as the new chain's) must not survive to
+    mark stale parquet as completed on the next resume."""
+    calls: list[str] = []
+    CorpusPipeline(str(tmp_path), "run4", _counting_stages(calls)).run(spark)
+
+    def boom(spark_, prev):
+        raise RuntimeError("mid-chain crash")
+
+    calls2: list[str] = []
+    stages2 = _counting_stages(calls2)
+    crashing = [stages2[0], Stage("doubled_v2", stages2[1].fn), Stage("gated", boom)]
+    pipe = CorpusPipeline(str(tmp_path), "run4", crashing)
+    with pytest.raises(RuntimeError, match="mid-chain crash"):
+        pipe.run(spark)
+    # the old 02_gated.COMPLETE must be gone: completion stops at doubled_v2
+    assert pipe.completed() == ["src", "doubled_v2"]
+
+    # the next resume recomputes ONLY the crashed stage, from fresh parquet
+    calls3: list[str] = []
+    stages3 = _counting_stages(calls3)
+    fixed = [stages3[0], Stage("doubled_v2", stages3[1].fn), stages3[2]]
+    out = CorpusPipeline(str(tmp_path), "run4", fixed).run(spark)
+    assert calls3 == ["gated"]
+    assert out.count() == 50

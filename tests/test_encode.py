@@ -319,3 +319,43 @@ def test_decayed_past_mean_grouped_and_chunked_parity(spark, weighting):
             )
     with pytest.raises(ValueError):
         decayed_past_mean(sdf, chunk_size=8)
+
+
+def test_decayed_past_mean_chunked_halving_exact_above_2_53(spark):
+    """The salted-chunked halving path must keep LONG arithmetic end to
+    end: sums between 2^53 and 2^62 (inside the documented exactness
+    envelope) must equal the plain window path BIT-FOR-BIT — a double
+    anywhere in the cumsum plumbing would round them (the r7 review
+    finding on salted_cumsum's zero literal)."""
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    n = 20
+    base = 1 << 36
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "event_type": ["a"] * n,
+            # large integer labels: products with 2^bucket weights cross
+            # 2^53 well before the 2^62 envelope
+            "v": np.array([base + 7 * i for i in range(n)], dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(n) * 600, unit="s"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    kw = dict(label="v", half_life_s=600.0, weighting="halving")
+    plain = decayed_past_mean(sdf, **kw).orderBy("event_id").toPandas()
+    chunked = (
+        decayed_past_mean(sdf, **kw, grouped=True, chunk_size=5)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    # exact python-int oracle for the last row confirms we are over 2^53
+    num = sum((base + 7 * i) * (1 << i) for i in range(n - 1))
+    assert num > 2**53
+    a, b = plain["dm_mean"].to_numpy(), chunked["dm_mean"].to_numpy()
+    both = ~(np.isnan(a) | np.isnan(b))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    assert (a[both] == b[both]).all()
+    den = sum(1 << i for i in range(n - 1))
+    assert plain["dm_mean"].iloc[-1] == num / den

@@ -246,10 +246,11 @@ def test_gb_stumps_model_on_spark_path(spark):
 
 
 def test_arrow_explain_path_matches_grouped_map(spark, clf_xy):
-    """The default mapInArrow batch execution (zero-copy contiguous
-    part_id slices over the cached pre-sorted matrix) must be BIT-IDENTICAL
-    to the groupBy().applyInPandas twin — same blocks, same order, same
-    float32 partials."""
+    """The OPT-IN mapInArrow batch execution (zero-copy contiguous
+    part_id slices over the cached pre-sorted matrix; measured slower at
+    the flagship shape, so grouped-map stays the default) must be
+    BIT-IDENTICAL to the groupBy().applyInPandas default — same blocks,
+    same order, same float32 partials."""
     from powershap_spark.engine import SparkExplainBackend
 
     X, y = clf_xy

@@ -101,7 +101,7 @@ def test_selection_batch_zero_exchange_zero_sort(spark, clf_xy):
 
     from powershap_spark.engine import _make_arrow_fn
 
-    # grouped-map twin (arrow_explain=False / single_batch path)
+    # grouped-map DEFAULT path (also the single_batch path)
     out = be.df.groupBy("part_id").applyInPandas(fn, schema=_RESULT_SCHEMA)
     p = _plan(out)
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", p)) == 1
@@ -112,8 +112,9 @@ def test_selection_batch_zero_exchange_zero_sort(spark, clf_xy):
     assert "Exchange" not in batch_seg, p
     assert "Sort" not in batch_seg, p
 
-    # default mapInArrow path: a pure per-partition map over the cached
-    # layout — no grouping operator at all, still zero Exchange/Sort
+    # opt-in mapInArrow path (arrow_explain=True; measured slower at the
+    # flagship shape, grouped-map is the default): a pure per-partition
+    # map over the cached layout — no grouping operator, zero Exchange/Sort
     out_a = be.df.mapInArrow(_make_arrow_fn(fn), schema=_RESULT_SCHEMA)
     pa_ = _plan(out_a)
     assert "MapInArrow" in pa_ or "PythonMapInArrow" in pa_, pa_
