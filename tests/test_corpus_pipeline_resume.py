@@ -128,3 +128,35 @@ def test_stale_markers_cleared_before_recompute(spark, tmp_path):
     out = CorpusPipeline(str(tmp_path), "run4", fixed).run(spark)
     assert calls3 == ["gated"]
     assert out.count() == 50
+
+
+def test_submit_corpus_chain_cli_runs_and_resumes(spark, tmp_path, capsys):
+    """The spark-submit chain entry point (tools/submit_corpus_chain.py)
+    runs the standard crawl-to-tensors chain over the fixture crawl and
+    fully resumes from markers on a second invocation."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import submit_corpus_chain as cli
+
+    fixtures = os.path.dirname(__file__) + "/fixtures"
+    argv = [
+        "--crawl-dir", fixtures, "--work-dir", str(tmp_path), "--run-id", "t",
+        "--block-tokens", "64", "--n-shards", "4", "--min-words", "2",
+        "--local", "4",
+    ]
+    cli.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["resumed_past"] == []
+    assert [s["stage"] for s in first["stages"]] == [
+        "ingest_extract", "pii_scrub", "exact_dedup",
+        "ppl_gate", "pack_contiguous", "epoch_shuffle",
+    ]
+    assert first["blocks"] >= 1
+
+    cli.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(second["resumed_past"]) == 6
+    assert second["blocks"] == first["blocks"]
