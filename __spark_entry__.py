@@ -181,8 +181,9 @@ def q_range_join_events(spark, sf_dir):
     )
     ctx = e.select("user_id", "ts", "event_id", "event_type")
     out = range_join(probes, ctx, "user_id", before=1800.0, after=0.0)
-    lt = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    rt = F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+    from powershap_spark.operators._time import event_micros
+
+    lt, rt = event_micros("ts"), event_micros("ts_r")
     return out.select(
         "probe_id",
         F.col("event_id").alias("ctx_event_id"),

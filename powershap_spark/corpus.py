@@ -52,11 +52,16 @@ class Stage:
     ``prev`` is the previous stage's (possibly reloaded) output; the first
     stage receives None and reads its own source. ``repartition`` coalesces
     the materialized output (packing loaders want few large files; a
-    filter stage's 10k input splits shouldn't become 10k tiny files)."""
+    filter stage's 10k input splits shouldn't become 10k tiny files).
+    ``cleanup`` runs after the stage's marker is durable — the hook for
+    releasing stage-scoped resources (e.g. a persist the stage needed for
+    a quantile action + the final plan), so they don't ride along for the
+    rest of the chain."""
 
     name: str
     fn: Callable[[SparkSession, DataFrame | None], DataFrame]
     repartition: int | None = None
+    cleanup: Callable[[], None] | None = None
 
 
 class CorpusPipeline:
@@ -140,6 +145,8 @@ class CorpusPipeline:
             with open(tmp, "w") as f:
                 f.write(json.dumps({"rows": int(n), "wall_s": wall}))
             os.replace(tmp, self._marker(i))
+            if st.cleanup is not None:
+                st.cleanup()
         if prev is None:  # pragma: no cover — stages is non-empty
             raise RuntimeError("no stage produced output")
         return prev

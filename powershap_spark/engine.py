@@ -263,7 +263,7 @@ def _make_arrow_fn(group_fn):
         # one consolidation pass: slices of a single-chunk table convert
         # to pandas without per-column chunk concatenation
         tbl = pa.Table.from_batches(batches).combine_chunks()
-        pid = tbl.column("part_id").combine_chunks().to_numpy()
+        pid = tbl.column("part_id").to_numpy()
         cuts = np.flatnonzero(np.diff(pid)) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(pid)]))

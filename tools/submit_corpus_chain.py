@@ -71,13 +71,23 @@ def build_stages(args):
     def dedup(spark, prev):
         return exact_dedup(prev)
 
+    # the ppl table is consumed twice (quantile action + semi join) ->
+    # persisted inside the stage; the Stage.cleanup hook releases it once
+    # the stage's marker is durable so it doesn't ride the rest of the chain
+    ppl_handles: list = []
+
     def ppl_gate(spark, prev):
         ppl = lm_perplexity(prev).persist()
+        ppl_handles.append(ppl)
         thr = ppl.approxQuantile("ppl", [1.0 - args.ppl_drop_frac], 0.001)[0]
         keep = ppl.filter(
             (F.col("n_scored") == 0) | (F.col("ppl") <= thr)
         ).select("doc_id")
         return prev.join(keep, "doc_id", "left_semi")
+
+    def ppl_cleanup():
+        while ppl_handles:
+            ppl_handles.pop().unpersist()
 
     def pack(spark, prev):
         return pack_contiguous(prev, args.block_tokens)
@@ -92,7 +102,7 @@ def build_stages(args):
         Stage("ingest_extract", ingest),
         Stage("pii_scrub", scrub),
         Stage("exact_dedup", dedup),
-        Stage("ppl_gate", ppl_gate),
+        Stage("ppl_gate", ppl_gate, cleanup=ppl_cleanup),
         Stage("pack_contiguous", pack),
         Stage("epoch_shuffle", shuffle, repartition=max(1, args.n_shards // 64)),
     ]
