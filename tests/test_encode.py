@@ -359,3 +359,19 @@ def test_decayed_past_mean_chunked_halving_exact_above_2_53(spark):
     assert (a[both] == b[both]).all()
     den = sum(1 << i for i in range(n - 1))
     assert plain["dm_mean"].iloc[-1] == num / den
+
+
+def test_decayed_past_mean_plan_single_exchange(spark):
+    """Like past_target_encode's plain path: the full-frame per-key min
+    and the two strictly-past sums share ONE hash exchange on the key —
+    adding recency weighting must not add a shuffle."""
+    sdf = spark.createDataFrame(_events_pdf(n=50))
+    from powershap_spark.operators.encode import decayed_past_mean
+
+    plan = (
+        decayed_past_mean(sdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
