@@ -303,3 +303,45 @@ def parity_matrix(
         f"random_{i}" for i in range(n_features - n_informative)
     ]
     return pd.DataFrame(X, columns=cols), y
+
+
+def events(
+    spark: SparkSession,
+    n_events: int = 1_000_000,
+    n_users: int = 10_000,
+    hot_frac: float = 0.10,
+    span_days: float = 30.0,
+    seed: int = 17,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic events table, schema-compatible with the driver's
+    ``events.parquet`` (user_id, ts, event_id, event_type, value) — for
+    join/encoder benches at row counts the fixed testdata doesn't reach.
+    ``user 0`` holds ~``hot_frac`` of all rows (the planted hot entity,
+    same convention as ``transcripts``); timestamps spread uniformly over
+    ``span_days`` from 2024-01-01 with microsecond jitter so RANGE frames
+    and as-of/range joins see realistic ties-free ordering. Every value
+    is a pure function of (seed, event_id): order-, partition- and
+    scale-independent; pure Spark expressions, no Python UDFs."""
+    e = spark.range(n_events).withColumnRenamed("id", "event_id")
+    if n_partitions:
+        e = e.repartition(n_partitions)
+    is_hot = _u01(seed, F.lit("hot"), F.col("event_id")) < hot_frac
+    user = F.when(is_hot, F.lit(0)).otherwise(
+        F.pmod(_h(seed, F.lit("u"), F.col("event_id")), F.lit(n_users - 1)) + 1
+    )
+    span_us = int(span_days * 86400 * 1_000_000)
+    off_us = F.pmod(_h(seed, F.lit("t"), F.col("event_id")), F.lit(span_us))
+    ts = F.timestamp_micros(F.lit(1704067200_000000) + off_us)
+    etype = F.element_at(
+        F.array(*[F.lit(t) for t in ("view", "click", "cart", "purchase")]),
+        (F.pmod(_h(seed, F.lit("e"), F.col("event_id")), F.lit(4)) + 1).cast("int"),
+    )
+    value = F.round(_u01(seed, F.lit("v"), F.col("event_id")) * 500.0, 2)
+    return e.select(
+        user.cast("long").alias("user_id"),
+        ts.alias("ts"),
+        F.col("event_id"),
+        etype.alias("event_type"),
+        value.alias("value"),
+    )
