@@ -155,3 +155,15 @@ def test_range_join_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_range_join_matches_naive_more_seeds(spark, seed):
+    """Randomized robustness sweep: different key layouts, densities and
+    hot-key shares must all match the naive join."""
+    ldf, rdf, lp, rp = _frames(
+        spark, seed=seed, n_keys=3 + seed % 5, hot_frac=0.2 + (seed % 3) * 0.2
+    )
+    got = range_join(ldf, rdf, "user_id", before=450, after=450).toPandas()
+    exp = _naive(lp, rp, 450, 450)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False)

@@ -128,3 +128,28 @@ def test_documents_planted_near_dups_are_found(spark):
     # ~10% planted minus those whose mutation dips below threshold;
     # bound loosely — the point is the plant bites, not an exact rate
     assert 0.03 * len(pdf) < dropped < 0.15 * len(pdf), dropped
+
+
+def test_events_deterministic_partition_invariant_and_schema(spark):
+    """synth.events: driver-events-parquet-compatible schema, bit
+    determinism across partitionings, the planted hot user, and values
+    that are pure functions of event_id."""
+    import pandas as pd
+
+    from powershap_spark import synth
+
+    a = synth.events(spark, n_events=5000).orderBy("event_id").toPandas()
+    b = (
+        synth.events(spark, n_events=5000, n_partitions=7)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert list(a.columns) == ["user_id", "ts", "event_id", "event_type", "value"]
+    assert a.equals(b)
+    share = (a.user_id == 0).mean()
+    assert 0.07 < share < 0.13  # hot_frac=0.10 planted on user 0
+    assert set(a.event_type.unique()) <= {"view", "click", "cart", "purchase"}
+    assert a.value.between(0, 500).all()
+    # timestamps inside the 30-day span
+    assert a.ts.min() >= pd.Timestamp("2024-01-01")
+    assert a.ts.max() < pd.Timestamp("2024-01-31 00:00:01")

@@ -58,8 +58,12 @@ print("RESULT " + json.dumps({
 """
 
 
+_N_EVENTS = 4_000_000  # set by main(); raw caches are per size
+
+
 def _raw(cell, cpus):
-    return os.path.join(ROOT, "BENCH", f"raw_{cell}_{cpus}.json")
+    sfx = "" if _N_EVENTS == 4_000_000 else f"_n{_N_EVENTS}"
+    return os.path.join(ROOT, "BENCH", f"raw_{cell}{sfx}_{cpus}.json")
 
 
 def _append(cell, cpus, rec):
@@ -79,6 +83,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_events = int(sys.argv[3]) if len(sys.argv) > 3 else 4_000_000
+    global _N_EVENTS
+    _N_EVENTS = n_events
     for rep in range(repeat):
         for cpus in (n, 4 * n):
             for cell in ("rjoin", "dmean"):
