@@ -48,7 +48,15 @@ def run_dmean():
         e, key="user_id", label="value", ts="ts", half_life_s=172800.0)
     return out.agg(F.sum("dm_mean"), F.sum("dm_cnt")).collect()[0][1]
 
-fn = run_rjoin if cell == "rjoin" else run_dmean
+def run_dmeanc():
+    # skew-safe path: grouped (key, ts) partials + salted_cumsum chunks,
+    # so the hot user's window never serializes one task
+    out = decayed_past_mean(
+        e, key="user_id", label="value", ts="ts", half_life_s=172800.0,
+        grouped=True, chunk_size=100_000)
+    return out.agg(F.sum("dm_mean"), F.sum("dm_cnt")).collect()[0][1]
+
+fn = {"rjoin": run_rjoin, "dmean": run_dmean, "dmeanc": run_dmeanc}[cell]
 fn()  # warm codegen + exchange paths
 t0 = time.perf_counter(); n = fn(); wall = time.perf_counter() - t0
 print("RESULT " + json.dumps({
@@ -87,7 +95,7 @@ def main():
     _N_EVENTS = n_events
     for rep in range(repeat):
         for cpus in (n, 4 * n):
-            for cell in ("rjoin", "dmean"):
+            for cell in ("rjoin", "dmean", "dmeanc"):
                 env = dict(
                     os.environ, SPARK_GRAFT_CPUS=str(cpus),
                     BENCH_N_EVENTS=str(n_events), BENCH_CELL=cell,
@@ -109,7 +117,7 @@ def main():
                 _append(cell, cpus, rec)
                 print(f"rep{rep} {cell} cpus={cpus}: {rec['sec']}s "
                       f"out={rec['out']}", flush=True)
-    for cell in ("rjoin", "dmean"):
+    for cell in ("rjoin", "dmean", "dmeanc"):
         s, l = _best(cell, n), _best(cell, 4 * n)
         print(json.dumps({
             "cell": cell, f"local[{n}]": s["sec"], f"local[{4*n}]": l["sec"],
