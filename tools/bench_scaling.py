@@ -306,6 +306,14 @@ def write_report(n, sf, repeat):
         "  at the DRAM wall; quality-classifier featurize 0.46 one-time vs",
         "  0.74 recurring per-epoch, two-point decomposition). Same",
         "  fresh-JVM interleaved min-of-N protocol as the cells above.",
+        "- Round-7 operator cells (BENCH/ANALYSIS_r07.md §6,",
+        "  tools/bench_join_encode.py over synth.events with a 10% hot",
+        "  user): range_join 0.70 at 16M events (452M context pairs —",
+        "  above the streaming ceiling via join arithmetic intensity, the",
+        "  hot timeline spread across its time buckets);",
+        "  decayed_past_mean plain 0.31 (hot user's window = one ~2 s",
+        "  task, the right default at this size) with the grouped+chunked",
+        "  escape hatch at 0.46 for the beyond-task-memory regime.",
         "- The END-TO-END crawl-to-tensors chain (WARC -> extract -> scrub",
         "  -> dedup -> perplexity gate -> BPE encode -> vocab ids ->",
         "  contiguous pack -> epoch shuffle) has its own N->4N cell since",
