@@ -10,6 +10,7 @@ with vectorized Arrow UDFs for the model kernel and checkpointed,
 resumable, partition-parallel iterations.
 """
 
+from .corpus import CorpusPipeline, Stage
 from .engine import CheckpointStore, PowerShapSelector
 from .kernel import RANDOM_COL, GradientBoostedStumpsModel
 from .splitters import (
@@ -27,6 +28,8 @@ from .stats import statistical_analysis
 __version__ = "0.2.0"
 
 __all__ = [
+    "CorpusPipeline",
+    "Stage",
     "PowerShapSelector",
     "CheckpointStore",
     "statistical_analysis",

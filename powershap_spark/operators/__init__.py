@@ -2,7 +2,7 @@ from .asof import asof_join, asof_join_broadcast, asof_join_bucketed
 from .rangejoin import range_join
 from .classifier import featurize_hashed, score_logreg, train_logreg
 from .curate import curate_corpus
-from .encode import past_target_encode
+from .encode import decayed_past_mean, past_target_encode
 from .scrub import canonicalize_url, extract_html_text, pii_counts, scrub_pii
 from .windows import (
     FeatureSpec,
@@ -31,6 +31,7 @@ __all__ = [
     "curate_corpus",
     "extract_html_text",
     "featurize_hashed",
+    "decayed_past_mean",
     "past_target_encode",
     "pii_counts",
     "score_logreg",
