@@ -50,9 +50,11 @@ class Stage:
     """One chain stage: ``fn(spark, prev: DataFrame | None) -> DataFrame``.
 
     ``prev`` is the previous stage's (possibly reloaded) output; the first
-    stage receives None and reads its own source. ``repartition`` coalesces
-    the materialized output (packing loaders want few large files; a
-    filter stage's 10k input splits shouldn't become 10k tiny files).
+    stage receives None and reads its own source. ``repartition`` reshapes
+    the materialized output to that many files (packing loaders want few
+    large files; a filter stage's 10k input splits shouldn't become 10k
+    tiny files) via a full repartition — deliberately not ``coalesce``,
+    which would collapse the stage's COMPUTE into that many tasks.
     ``cleanup`` runs after the stage's marker is durable — the hook for
     releasing stage-scoped resources (e.g. a persist the stage needed for
     a quantile action + the final plan), so they don't ride along for the
@@ -68,6 +70,19 @@ class CorpusPipeline:
     def __init__(self, root: str, run_id: str, stages: list[Stage]):
         if not stages:
             raise ValueError("stages must be non-empty")
+        if "://" in root:
+            # the marker/lineage bookkeeping is DRIVER-side os I/O: a URI
+            # root would let Spark write the stage parquet remotely while
+            # the markers land (or crash) on a local path that happens to
+            # contain 's3:/...' — the worst failure mode being a 10-hour
+            # ingest whose marker never lands. Require a POSIX-visible
+            # root (NFS / Lustre / fuse-mounted object store); a
+            # Hadoop-FileSystem marker backend is the seam if a raw URI
+            # root is ever needed.
+            raise ValueError(
+                f"root must be a POSIX-visible path, got URI {root!r} — "
+                "mount the store (s3fs/NFS) or point root at shared disk"
+            )
         names = [s.name for s in stages]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate stage names: {names}")
@@ -119,10 +134,13 @@ class CorpusPipeline:
             t0 = time.perf_counter()
             out = st.fn(spark, prev)
             if st.repartition:
-                # coalesce, not repartition: the goal is fewer/larger
-                # output files, which must not cost a full shuffle of the
-                # stage's rows
-                out = out.coalesce(st.repartition)
+                # repartition, NOT coalesce: coalesce is a narrow
+                # dependency, so coalesce(k) would run the ENTIRE stage's
+                # compute in k tasks (a coalesce(1) epoch shuffle would
+                # serialize every per-shard window sort into one task).
+                # repartition keeps upstream parallelism — the shuffle is
+                # the price of few output files without a compute funnel.
+                out = out.repartition(st.repartition)
             data = self._data_dir(i)
             out.write.mode("overwrite").parquet(data)
             # reload from the persisted copy BEFORE declaring completion:

@@ -323,6 +323,11 @@ def events(
     and as-of/range joins see realistic ties-free ordering. Every value
     is a pure function of (seed, event_id): order-, partition- and
     scale-independent; pure Spark expressions, no Python UDFs."""
+    if n_users < 2:
+        # the non-hot branch draws from users 1..n_users-1: n_users=1
+        # would be pmod(hash, 0) — null user_ids under non-ANSI, an error
+        # under ANSI — not the "single user" a caller might expect
+        raise ValueError(f"n_users must be >= 2, got {n_users}")
     e = spark.range(n_events).withColumnRenamed("id", "event_id")
     if n_partitions:
         e = e.repartition(n_partitions)

@@ -153,3 +153,12 @@ def test_events_deterministic_partition_invariant_and_schema(spark):
     # timestamps inside the 30-day span
     assert a.ts.min() >= pd.Timestamp("2024-01-01")
     assert a.ts.max() < pd.Timestamp("2024-01-31 00:00:01")
+
+
+def test_events_rejects_single_user(spark):
+    from powershap_spark import synth
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_users"):
+        synth.events(spark, n_events=10, n_users=1)

@@ -138,7 +138,8 @@ dd, n_dedup = timed("exact_dedup", lambda: exact_dedup(docs))
 # exactly as a production chain would checkpoint its scores table.
 def s3():
     ppl = lm_perplexity(dd).persist()
-    thr = ppl.approxQuantile("ppl", [0.95], 0.001)[0]
+    q = ppl.approxQuantile("ppl", [0.95], 0.001)
+    thr = q[0] if q else float("inf")
     out = dd.join(
         ppl.filter((F.col("n_scored") == 0) | (F.col("ppl") <= thr))
            .select("doc_id"),

@@ -3,8 +3,13 @@ the corpus-side twin of tools/submit_job.py.
 
     zip -r powershap_spark.zip powershap_spark
     spark-submit --py-files powershap_spark.zip tools/submit_corpus_chain.py \
-        --crawl-dir s3://bucket/crawl --work-dir s3://bucket/chain \
+        --crawl-dir s3://bucket/crawl --work-dir /mnt/shared/chain \
         --run-id daily42 --block-tokens 2048 --n-shards 65536
+
+``--crawl-dir`` may be any Spark-readable URI; ``--work-dir`` must be a
+POSIX-visible path shared across driver restarts (NFS / Lustre / a
+fuse-mounted bucket) — the chain's COMPLETE markers and lineage are
+driver-side file I/O, and CorpusPipeline rejects raw URIs loudly.
 
 Runs WARC ingest -> HTML extract -> PII scrub -> exact dedup ->
 LM-perplexity gate -> contiguous packing -> deterministic epoch shuffle
@@ -79,7 +84,10 @@ def build_stages(args):
     def ppl_gate(spark, prev):
         ppl = lm_perplexity(prev).persist()
         ppl_handles.append(ppl)
-        thr = ppl.approxQuantile("ppl", [1.0 - args.ppl_drop_frac], 0.001)[0]
+        q = ppl.approxQuantile("ppl", [1.0 - args.ppl_drop_frac], 0.001)
+        # no scored docs at all (every doc < 2 tokens, or an empty crawl):
+        # nothing to gate — pass everything through via the n_scored==0 arm
+        thr = q[0] if q else float("inf")
         keep = ppl.filter(
             (F.col("n_scored") == 0) | (F.col("ppl") <= thr)
         ).select("doc_id")
