@@ -1210,13 +1210,19 @@ def q_dedup_lines_documents(spark, sf_dir):
     single-line, so the query exercises the operator at sep=' ' — scrub
     corpus-frequent units (>= 50 occurrences) of length >= 6 chars, keep
     everything shorter. Same operator, same two-shuffle plan; pytest
-    covers the newline case."""
+    covers the newline case.
+
+    n_removed is emitted as DOUBLE: the frozen oracle's uncast
+    SUM(CASE...) yields DuckDB HUGEINT, which pandas converts to float64
+    — the r7 driver row was red on exactly that dtype under the
+    dtype-sensitive value hash (VERDICT r7 #1) with every value equal.
+    Casting the Spark side makes both canonical frames float64."""
     from powershap_spark.operators.text import dedup_lines
 
     d = _read(spark, sf_dir, "documents")
     return dedup_lines(
         d, min_count=50, min_chars=6, sep=" "
-    )
+    ).withColumn("n_removed", F.col("n_removed").cast("double"))
 
 
 def q_dedup_spans_documents(spark, sf_dir):

@@ -900,7 +900,17 @@ def test_bucketed_banded_store_parity_append_and_plan(spark, docs, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert "SortMergeJoin" in plan
         assert "Bucketed: true" in plan, plan
-        assert plan.count("Exchange hashpartitioning") == 1, plan  # shard only
+        # store-side contract: the bucketed store is NEVER re-shuffled.
+        # Exchanges allowed: the band-key shuffle of the shard side, plus
+        # the shard signature aggregation's hashpartitioning(doc_id)
+        # (r8: signatures come from explode+groupBy — value-identical,
+        # 2.2x faster; its exchange carries one ~num_hashes*8B row per
+        # SHARD doc, the store side still contributes zero exchanges).
+        band_ex = plan.count("Exchange hashpartitioning(band_id")
+        assert band_ex == 1, plan  # shard only
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "band_id" in line or "doc_id" in line, line
 
         # (2) append: idempotent by id, both tables grow exactly once
         n_bands = spark.table(f"{prefix}_bands").count()

@@ -90,23 +90,23 @@ def main():
             continue
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
-        # exact equality after canonicalization — int/float dtype mismatches
-        # between engines (e.g. Spark bigint vs DuckDB HUGEINT->float) are
-        # tolerated only when the VALUES are exactly equal as float64,
-        # mirroring the driver's value hash of the canonical frame
-        ok_vals = ok_rows and ok_cols and a.equals(b)
-        if not ok_vals and ok_rows and ok_cols:
-            try:
-                ok_vals = all(
-                    np.array_equal(
-                        a[c].astype(float), b[c].astype(float), equal_nan=True
-                    )
-                    if a[c].dtype.kind in "fiu" and b[c].dtype.kind in "fiu"
-                    else (a[c] == b[c]).all()
-                    for c in a.columns
-                )
-            except (TypeError, ValueError):
-                ok_vals = False
+        # DTYPE-STRICT equality after canonicalization (VERDICT r7 #2): the
+        # driver's value hash is dtype-sensitive, so an int64-vs-float64
+        # frame difference with equal values (DuckDB SUM(int) -> HUGEINT ->
+        # float64 vs Spark bigint) is a DRIVER FAILURE and must be red here
+        # too. Queries are responsible for emitting matching dtype KINDS on
+        # both sides (cast the Spark side when the oracle aggregate widens).
+        ok_kinds = ok_cols and all(
+            a[c].dtype.kind == b[c].dtype.kind for c in a.columns
+        )
+        ok_vals = ok_rows and ok_cols and ok_kinds and a.equals(b)
+        if ok_rows and ok_cols and not ok_kinds:
+            kind_diffs = [
+                f"{c}: spark {a[c].dtype} vs duck {b[c].dtype}"
+                for c in a.columns
+                if a[c].dtype.kind != b[c].dtype.kind
+            ]
+            print(f"  dtype-kind mismatch: {kind_diffs}")
         status = "OK  " if ok_vals else "FAIL"
         if not ok_vals:
             failures.append(name)
