@@ -277,14 +277,21 @@ def text_stats_ints(text_col: str = "text") -> dict[str, Column]:
     traffic saved (the 100-TB lever VERDICT r2 'Next round' #1 names)."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_nonspace = F.length(F.translate(t, " ", ""))
+    # r8 expression choice (values identical, measured at sf1.0):
+    # - single-char space removal via replace() instead of translate() —
+    #   byte-pattern search beats the per-char map walk 2x (0.84 vs 1.8 s);
+    # - ONE translate stripping spaces AND punctuation replaces the second
+    #   translate: n_punct falls out by the counting identity
+    #   n_punct = n_nonspace - len(text minus spaces minus punct).
+    n_nonspace = F.length(F.replace(t, F.lit(" "), F.lit("")))
     n_spaces = n_chars - n_nonspace
     n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    n_alnum_like = F.length(F.translate(t, " .,;:!?", ""))
     return {
         "text_len": n_chars.cast("int"),
         "n_tokens": n_tokens.cast("int"),
         "n_nonspace": n_nonspace.cast("int"),
-        "n_punct": (n_chars - F.length(F.translate(t, ".,;:!?", ""))).cast("int"),
+        "n_punct": (n_nonspace - n_alnum_like).cast("int"),
     }
 
 

@@ -173,7 +173,13 @@ def probes(
     powershap suite has signal to find)."""
     t = transcripts_df
     u = _u01(seed, F.lit("probe"), F.col("conv_id"), F.col("turn_idx"))
-    picked = t.filter(u < probe_frac)
+    # shuffle-byte discipline (r8): the label windows only consume
+    # length(text), so project the int length BEFORE the per-conversation
+    # window — the window exchange then carries a 4-byte int instead of
+    # the full text payload (values identical: avg over the same lengths)
+    picked = t.filter(u < probe_frac).select(
+        "conv_id", "turn_idx", "ts", F.length("text").alias("__tl")
+    )
 
     kind = F.pmod(_h(seed, F.lit("pkind"), F.col("conv_id"), F.col("turn_idx")), F.lit(10))
     probe_ts = F.when(kind < 5, F.col("ts")).otherwise(
@@ -185,7 +191,7 @@ def probes(
     # signal: long recent texts and many recent turns push label up
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     sig = (
-        F.avg(F.length("text")).over(w.rowsBetween(-5, 0)) / 60.0
+        F.avg("__tl").over(w.rowsBetween(-5, 0)) / 60.0
         + F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)) / 40.0
     )
     noise = (_u01(seed, F.lit("lnoise"), F.col("conv_id"), F.col("turn_idx")) - 0.5) * 0.8

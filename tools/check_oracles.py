@@ -90,16 +90,19 @@ def main():
             continue
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
-        # DTYPE-STRICT equality after canonicalization (VERDICT r7 #2): the
-        # driver's value hash is dtype-sensitive, so an int64-vs-float64
-        # frame difference with equal values (DuckDB SUM(int) -> HUGEINT ->
-        # float64 vs Spark bigint) is a DRIVER FAILURE and must be red here
-        # too. Queries are responsible for emitting matching dtype KINDS on
-        # both sides (cast the Spark side when the oracle aggregate widens).
+        # DTYPE-KIND-STRICT equality after canonicalization (VERDICT r7
+        # #2): the driver's value hash is dtype-KIND-sensitive — an
+        # int64-vs-float64 frame with equal values (DuckDB SUM(int) ->
+        # HUGEINT -> float64 vs Spark bigint) was a DRIVER FAILURE in r7 —
+        # but width-insensitive: nine r7 driver-GREEN rows differ only in
+        # integer width (Spark int32 rank vs DuckDB BIGINT row_number).
+        # So: require matching kind, then widen both sides to the kind's
+        # canonical width and require exact (NaN==NaN) equality. Queries
+        # are responsible for emitting matching KINDS on both sides (cast
+        # the Spark side when the oracle aggregate widens int -> float).
         ok_kinds = ok_cols and all(
             a[c].dtype.kind == b[c].dtype.kind for c in a.columns
         )
-        ok_vals = ok_rows and ok_cols and ok_kinds and a.equals(b)
         if ok_rows and ok_cols and not ok_kinds:
             kind_diffs = [
                 f"{c}: spark {a[c].dtype} vs duck {b[c].dtype}"
@@ -107,6 +110,23 @@ def main():
                 if a[c].dtype.kind != b[c].dtype.kind
             ]
             print(f"  dtype-kind mismatch: {kind_diffs}")
+        _wide = {"i": "int64", "u": "uint64", "f": "float64"}
+
+        def _col_equal(x: pd.Series, y: pd.Series) -> bool:
+            w = _wide.get(x.dtype.kind)
+            if w:
+                # nullable ints arrive as float64 via pandas; kind already
+                # matched, so widening within the kind is value-exact
+                xv, yv = x.astype(w), y.astype(w)
+                return bool(np.array_equal(xv.values, yv.values, equal_nan=(w == "float64")))
+            return bool(x.equals(y))
+
+        ok_vals = (
+            ok_rows
+            and ok_cols
+            and ok_kinds
+            and all(_col_equal(a[c], b[c]) for c in a.columns)
+        )
         status = "OK  " if ok_vals else "FAIL"
         if not ok_vals:
             failures.append(name)
