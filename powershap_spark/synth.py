@@ -80,13 +80,45 @@ def transcripts(
         .withColumn("conv_id", F.format_string("conv_%08d", F.col("conv_nr")))
         .withColumn("turn_idx", F.col("turn_idx").cast("int"))
     )
+
+    # ts: conv start + cumulative gaps; ~5% of gaps exceed tau (multi-session)
+    gap_small = (F.pmod(_h(seed, F.lit("gap"), F.col("conv_id"), F.col("turn_idx")), F.lit(300)) + 5).cast("double")
+    gap_big = gap_small + F.lit(float(TAU_SECONDS)) + (
+        F.pmod(_h(seed, F.lit("bgap"), F.col("conv_id"), F.col("turn_idx")), F.lit(3600))
+    ).cast("double")
+    gap = F.when(F.col("turn_idx") == 0, F.lit(0.0)).otherwise(
+        F.when(_u01(seed, F.lit("sess"), F.col("conv_id"), F.col("turn_idx")) < 0.05, gap_big).otherwise(gap_small)
+    )
+    conv_start = (
+        F.lit(1_700_000_000).cast("double")
+        + F.pmod(_h(seed, F.lit("start"), F.col("conv_id")), F.lit(86_400 * 30)).cast("double")
+    )
+
+    # shuffle-byte discipline (r8): the cumulative-gap prefix sum is the
+    # only stage that needs a per-conversation exchange, so it runs over
+    # NARROW rows (conv_id, turn_idx, gap, start ≈ 40 B) and the ~200 B
+    # text/role/tool synthesis happens AFTER it, already distributed by
+    # the cumsum's (conv_id, chunk) partitioning — the hot conversation's
+    # per-row synthesis spreads over its ~n/65k chunk tasks instead of
+    # one, and the explicit pre-synthesis repartition shuffle is gone.
+    # Every column stays a pure function of (seed, conv_id, turn_idx), so
+    # values are identical at any parallelism (parity-pinned tests).
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        gap.alias("__gap"),
+        conv_start.alias("__start"),
+    )
     if skew_safe:
-        # break the explode's conv-aligned row placement BEFORE the per-row
-        # text/role/gap synthesis: the hot conversation's rows spread over
-        # all tasks (everything below is a pure function of (conv, turn))
-        df = df.repartition(
-            n_partitions or spark.sparkContext.defaultParallelism,
-            F.xxhash64("conv_id", "turn_idx"),
+        from .operators.salted import salted_cumsum
+
+        out = salted_cumsum(
+            out, "__gap", "__cumgap", entity="conv_id", order="turn_idx", chunk_size=65_536
+        )
+    else:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        out = out.withColumn(
+            "__cumgap", F.sum("__gap").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
 
     role = F.element_at(
@@ -114,45 +146,12 @@ def transcripts(
         " ",
     )
 
-    # ts: conv start + cumulative gaps; ~5% of gaps exceed tau (multi-session)
-    gap_small = (F.pmod(_h(seed, F.lit("gap"), F.col("conv_id"), F.col("turn_idx")), F.lit(300)) + 5).cast("double")
-    gap_big = gap_small + F.lit(float(TAU_SECONDS)) + (
-        F.pmod(_h(seed, F.lit("bgap"), F.col("conv_id"), F.col("turn_idx")), F.lit(3600))
-    ).cast("double")
-    gap = F.when(F.col("turn_idx") == 0, F.lit(0.0)).otherwise(
-        F.when(_u01(seed, F.lit("sess"), F.col("conv_id"), F.col("turn_idx")) < 0.05, gap_big).otherwise(gap_small)
-    )
-    conv_start = (
-        F.lit(1_700_000_000).cast("double")
-        + F.pmod(_h(seed, F.lit("start"), F.col("conv_id")), F.lit(86_400 * 30)).cast("double")
-    )
-
-    out = df.select(
+    return out.select(
         "conv_id",
         "turn_idx",
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
-        gap.alias("__gap"),
-        conv_start.alias("__start"),
-    )
-    if skew_safe:
-        from .operators.salted import salted_cumsum
-
-        out = salted_cumsum(
-            out, "__gap", "__cumgap", entity="conv_id", order="turn_idx", chunk_size=65_536
-        )
-    else:
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        out = out.withColumn(
-            "__cumgap", F.sum("__gap").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-    return out.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        "tool",
         (F.col("__start") + F.col("__cumgap")).cast("timestamp").alias("ts"),
     )
 

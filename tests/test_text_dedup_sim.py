@@ -1250,9 +1250,16 @@ def test_bpe_learn_matches_sennrich_reference(spark):
             merges, columns=["merge_idx", "left", "right", "pair_count"]
         )
 
+    # BOTH induction paths must match the reference bit-exactly: the
+    # driver-local fast path (auto picks it — the dictionary is tiny)
+    # and the distributed batched loop (forced)
     got = bpe_learn(docs, n_merges=10, checkpoint_every=3).toPandas()
     exp = reference(texts, 10)
     assert got.astype(str).values.tolist() == exp.astype(str).values.tolist()
+    dist = bpe_learn(
+        docs, n_merges=10, checkpoint_every=3, mode="distributed"
+    ).toPandas()
+    assert dist.astype(str).values.tolist() == exp.astype(str).values.tolist()
 
     # layout invariance: the argmax chain is partitioning-independent
     got2 = bpe_learn(docs.repartition(7), n_merges=10).toPandas()
@@ -1291,12 +1298,53 @@ def test_bpe_learn_batched_equals_sequential(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     )
-    seq = bpe_learn(docs, n_merges=24, batch_size=1).toPandas()
+    # batching is a distributed-loop concept: force mode so the loop
+    # stays covered now that auto picks the driver-local path here
+    seq = bpe_learn(docs, n_merges=24, batch_size=1, mode="distributed").toPandas()
     for bs in (2, 4, 8):
-        got = bpe_learn(docs, n_merges=24, batch_size=bs).toPandas()
+        got = bpe_learn(
+            docs, n_merges=24, batch_size=bs, mode="distributed"
+        ).toPandas()
         assert got.values.tolist() == seq.values.tolist(), f"batch_size={bs}"
     with pytest.raises(ValueError):
         bpe_learn(docs, n_merges=3, batch_size=0)
+
+
+def test_bpe_learn_local_equals_distributed(spark):
+    """mode='auto'/'local' (driver-local exact Sennrich induction over the
+    collected word dictionary, VERDICT r7 #3) must be bit-identical to the
+    distributed loop on the tie-heavy corpus, and the auto probe must fall
+    back to distributed when the dictionary overflows max_local_vocab."""
+    import random
+
+    from powershap_spark.operators.text import bpe_learn
+
+    rng = random.Random(23)
+    syll = ["ab", "ba", "ac", "ca", "bc", "cb", "aa", "bb"]
+    texts = [
+        " ".join(
+            "".join(rng.choice(syll) for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    dist = bpe_learn(docs, n_merges=24, mode="distributed").toPandas()
+    loc = bpe_learn(docs, n_merges=24, mode="local").toPandas()
+    auto = bpe_learn(docs, n_merges=24, mode="auto").toPandas()
+    assert loc.values.tolist() == dist.values.tolist()
+    assert auto.values.tolist() == dist.values.tolist()
+
+    # overflow: a 1-row budget forces the distributed fallback (auto) /
+    # a loud error (local)
+    over = bpe_learn(docs, n_merges=6, mode="auto", max_local_vocab=1).toPandas()
+    assert over.values.tolist() == dist.head(6).values.tolist()
+    with pytest.raises(ValueError):
+        bpe_learn(docs, n_merges=6, mode="local", max_local_vocab=1)
+    with pytest.raises(ValueError):
+        bpe_learn(docs, n_merges=6, mode="nope")
 
 
 def test_token_shift_and_corpus_divergence_match_reference(spark):
