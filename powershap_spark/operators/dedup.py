@@ -119,17 +119,29 @@ def exact_dedup(
 
 
 def shingles(col, n: int = 3) -> "F.Column":
-    """Word n-gram shingle array (distinct) from a text column."""
+    """Word n-gram shingle array (distinct) from a text column.
+
+    The token array is bound ONCE via a single-element ``transform``
+    lambda (see ``hashed_shingles``): interpreted HOF trees get no CSE,
+    so referencing the split+normalize expression from inside the
+    per-position lambda re-ran the whole tokenization O(n_tokens) times
+    per row — O(n^2) per document. Values are unchanged."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(normalize_text(c), " ")
+    toks_expr = F.split(normalize_text(c), " ")
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
+        F.element_at(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                F.array(toks_expr),
+                lambda toks: F.when(
+                    F.size(toks) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                    ),
+                ).otherwise(F.array(F.array_join(toks, " "))),
             ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+            1,
+        )
     )
 
 
@@ -485,7 +497,12 @@ def incremental_minhash_dedup(
     )
     rows_per_band = max(1, num_hashes // bands)
     store_sigs = sig_store.select(F.col(id_col), "minhash")
-    union_sigs = store_sigs.unionByName(new_sigs)
+    # the union feeds the banded a-side AND both signature re-attach joins
+    # in _pairs_with_est — three consumers, so an unpersisted store plan
+    # (or raw store scan) would execute three times (r8: measured 1.7x on
+    # the incremental query at sf0.1, interleaved min-of-3). Signature rows are (id, num_hashes
+    # longs) — tiny relative to the corpus they summarize.
+    union_sigs = tracked_persist(store_sigs.unionByName(new_sigs))
     a = _banded(
         union_sigs, id_col, "minhash", bands, rows_per_band, hash_family
     ).alias("a")

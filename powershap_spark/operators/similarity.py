@@ -272,18 +272,50 @@ def stride_centroids(
 
 
 def _cell_scores(vec, centroids):
-    """[(cell, cosine(vec, centroid))] as struct columns (max-struct ready:
-    greatest() picks highest cosine, ties to the LOWEST cell id)."""
-    out = []
-    for cell, c in centroids:
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        out.append(
-            F.struct(
-                cosine_similarity_col(vec, cv).alias("s"),
-                F.lit(-cell).alias("negcell"),
+    """ONE array<struct<s, negcell>> column of (cosine(vec, centroid),
+    -cell) score structs (max-struct ready: array_max picks highest
+    cosine, ties to the LOWEST cell id).
+
+    r8 cost shape: the OLD form ran cosine_similarity_col per centroid —
+    three interpreted array folds (dot + both norms) per (row, centroid).
+    Now the centroid norm is a Python-computed literal (the identical
+    left-fold + sqrt IEEE sequence over the same double literals — bit
+    equal), and the row norm is computed ONCE per row via a bound
+    variable shared by every centroid's score, leaving one dot fold per
+    (row, centroid). Values unchanged."""
+    import math
+
+    def score_structs(na):
+        out = []
+        for cell, c in centroids:
+            cv = F.array(*[F.lit(float(x)) for x in c])
+            acc = 0.0
+            for x in c:
+                acc = acc + float(x) * float(x)
+            nb = math.sqrt(acc)
+            dot = F.aggregate(
+                F.zip_with(vec, cv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a_, v_: a_ + v_,
             )
-        )
-    return out
+            s = (
+                F.when(
+                    (na > F.lit(0.0)) & (F.lit(nb) > F.lit(0.0)),
+                    dot / (na * F.lit(nb)),
+                )
+                .otherwise(F.lit(0.0))
+            )
+            out.append(F.struct(s.alias("s"), F.lit(-cell).alias("negcell")))
+        return out
+
+    na_expr = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v))
+    # bind the row norm once: element_at(transform(array(norm), ...), 1)
+    # is the module's let-expression idiom (no CSE in interpreted HOFs).
+    # Returns ONE array<struct<s,negcell>> column over all cells.
+    return F.element_at(
+        F.transform(F.array(na_expr), lambda na: F.array(*score_structs(na))),
+        1,
+    )
 
 
 def kmeans_centroids(
@@ -327,10 +359,9 @@ def kmeans_centroids(
         cur = [(cell, list(map(float, cmat[i]))) for i, cell in enumerate(cells)]
 
         def best_cell(vec, cur=cur):
-            scores = _cell_scores(vec, cur)
-            if len(scores) == 1:
+            if len(cur) == 1:
                 return F.lit(cur[0][0])
-            return -F.greatest(*scores)["negcell"]
+            return -F.array_max(_cell_scores(vec, cur))["negcell"]
 
         # NOTE: the generator (posexplode) must live in a SEPARATE select —
         # a generator alongside greatest(struct...) makes the analyzer lose
@@ -394,10 +425,9 @@ def ivf_topk(
         )
 
     def best_cell(vec):
-        scores = _cell_scores(vec, cents)
-        if len(scores) == 1:  # greatest() needs >= 2 columns
+        if len(cents) == 1:
             return F.lit(cents[0][0])
-        return -F.greatest(*scores)["negcell"]
+        return -F.array_max(_cell_scores(vec, cents))["negcell"]
 
     e = embeddings.select(
         F.col(id_col),
@@ -411,7 +441,7 @@ def ivf_topk(
         F.explode(
             F.slice(
                 F.reverse(
-                    F.array_sort(F.array(*_cell_scores(F.col(query_vec_col), cents)))
+                    F.array_sort(_cell_scores(F.col(query_vec_col), cents))
                 ),
                 1,
                 int(nprobe),

@@ -51,15 +51,26 @@ def _word_ngrams(toks, n: int, sep: str = " "):
     """Word n-gram array from a token array: empty for docs with < n
     tokens (the descending-``sequence()`` guard lives here). Shared by
     repetition_ratios, topk_ngrams, and dedup_ngram_spans (keep in sync
-    with the DuckDB oracle mirrors in __spark_entry__.py)."""
-    win = F.size(toks) - (n - 1)
-    return F.when(
-        F.size(toks) >= n,
+    with the DuckDB oracle mirrors in __spark_entry__.py).
+
+    The token expression is bound ONCE via a single-element ``transform``
+    lambda: interpreted HOF trees get no CSE, so a caller passing the
+    usual ``_tokens(col)`` EXPRESSION would otherwise re-run the whole
+    trim/lower/split per n-gram position — O(n_tokens^2) per row
+    (measured 4x on repetition_ratios at sf0.1). Values unchanged."""
+    return F.element_at(
         F.transform(
-            F.sequence(F.lit(0), win - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), sep),
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - n),
+                    lambda i: F.array_join(F.slice(tk, i + 1, n), sep),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        1,
+    )
 
 
 def token_count(col) -> "F.Column":
@@ -154,14 +165,20 @@ def repetition_ratios(col, n: int = 2) -> dict:
     natural prose stays low. Pure array expressions (one split, slices and
     set ops), oracle-expressible with DuckDB list functions."""
     toks = _tokens(col)
-    n_tok = F.size(toks)
 
     def dup_ratio(arr):
-        total = F.size(arr)
-        return (
-            F.when(total > 0, 1.0 - F.size(F.array_distinct(arr)) / total)
-            .otherwise(F.lit(0.0))
-            .cast("double")
+        # bind the (possibly expensive) array expression once — size,
+        # array_distinct and the guard all read the bound variable
+        return F.element_at(
+            F.transform(
+                F.array(arr),
+                lambda a: F.when(
+                    F.size(a) > 0, 1.0 - F.size(F.array_distinct(a)) / F.size(a)
+                )
+                .otherwise(F.lit(0.0))
+                .cast("double"),
+            ),
+            1,
         )
 
     return {
@@ -432,16 +449,25 @@ def lm_perplexity(
 
     pat = _re.escape(sep)
     toks = F.split(F.col(text_col), pat, -1)
-    bigrams = F.when(
-        F.size(toks) >= 2,
+    # bind the split ONCE (the module's let-expression idiom): the
+    # per-position lambda otherwise re-runs the regex split for every
+    # F.get reference — O(n_tokens^2) per document in interpreted HOFs
+    bigrams = F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.xxhash64(F.get(toks, i)).alias("__ch"),
-                F.xxhash64(F.get(toks, i), F.get(toks, i + 1)).alias("__bh"),
-            ),
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.struct(
+                        F.xxhash64(F.get(tk, i)).alias("__ch"),
+                        F.xxhash64(F.get(tk, i), F.get(tk, i + 1)).alias("__bh"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<__ch:bigint,__bh:bigint>>")),
         ),
-    ).otherwise(F.array().cast("array<struct<__ch:bigint,__bh:bigint>>"))
+        1,
+    )
 
     ex = docs.select(F.col(id_col), F.explode(bigrams).alias("__g")).select(
         id_col, F.col("__g.__ch").alias("__ch"), F.col("__g.__bh").alias("__bh")
