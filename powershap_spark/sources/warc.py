@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "read_warc_stream", "warc_stats"]
+__all__ = ["read_warc", "read_warc_gz", "read_warc_stream", "warc_stats"]
 
 _SEP = "\r\n\r\nWARC/1.0\r\n"
 
@@ -47,6 +47,119 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     declared ``Content-Length`` differs from the observed payload length
     (the false-split signature)."""
     return _parse_warc(spark.read.option("lineSep", _SEP).text(path))
+
+
+def read_warc_gz(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Splittable ``.warc.gz`` reading (VERDICT r7 #4). Common Crawl
+    compresses each WARC record as its OWN gzip member, so a shard is a
+    concatenation of independently decodable streams — but Hadoop's gzip
+    codec treats the whole file as one stream: one task per file, 1-way
+    parallelism on a 1-GB shard. This reader restores within-file
+    parallelism in one pass over chunked byte ranges:
+
+    The driver lists files (metadata only — never opens them) and cuts
+    them into ``chunk_bytes`` ranges; ONE task per range then
+
+    1. byte-scans its in-memory range for the gzip member signature
+       ``1f 8b 08`` (no decompression; candidates are a superset of true
+       member starts, ~range/2^24 false positives from compressed bytes),
+    2. zlib-decodes each candidate that STARTS in its range directly
+       from the buffer (``decompressobj`` stops at member end; a member
+       straddling the range edge pulls just its tail bytes from the
+       file), keeping it iff the decoded bytes start with ``WARC/1.0``
+       — false candidates fail the zlib stream or the prefix check.
+
+    Every true member is decoded exactly once, with within-file
+    parallelism = size/chunk_bytes instead of Hadoop-gzip's one task per
+    file. Decoded record text feeds the SAME ``_parse_warc`` expressions
+    as the uncompressed reader (parity-pytested), so schema and
+    malformed-record policy are identical. Decompression is stdlib
+    ``zlib`` (C) inside one ``mapPartitions`` — the module's codec-seam
+    convention, one Python call per member over in-memory bytes, one
+    file open per chunk, never per row. Local/NFS paths are read with
+    ``open()``; object stores need a range-read client behind the same
+    shape."""
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(
+        p
+        for pat in ([path] if isinstance(path, str) else list(path))
+        for p in (_glob.glob(_os.path.join(pat, "*.warc.gz")) if _os.path.isdir(pat) else _glob.glob(pat))
+        if _os.path.isfile(p)
+    )
+    if not paths:
+        raise ValueError(f"no .warc.gz files under {path!r}")
+    chunks = []
+    for p in paths:
+        size = _os.path.getsize(p)
+        for start in range(0, max(size, 1), int(chunk_bytes)):
+            chunks.append((p, start, min(start + int(chunk_bytes), size)))
+
+    sc = spark.sparkContext
+    n_tasks = max(1, min(len(chunks), sc.defaultParallelism * 2))
+    step = 1 << 16  # zlib feed window: one small copy per (member, 64 KB)
+    # — decompressing buf[pos:] in one call would copy O(chunk) bytes per
+    # member, quadratic in members-per-chunk
+
+    def scan_decode(part):
+        import zlib
+
+        for p, start, end in part:
+            with open(p, "rb") as f:
+                f.seek(start)
+                # +2 overlap so a signature straddling the chunk edge is
+                # owned by exactly one side (the one holding its 1st byte)
+                buf = f.read(end - start + 2)
+                flen = None
+                pos = buf.find(b"\x1f\x8b\x08")
+                while pos != -1 and pos < end - start:
+                    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                    out = []
+                    feed = pos
+                    try:
+                        while not d.eof and feed < len(buf):
+                            out.append(d.decompress(buf[feed:feed + step]))
+                            feed += step
+                        # member tail beyond this chunk's buffer: pull
+                        # only the missing bytes (members are ~KBs, the
+                        # straddle read is bounded and rare)
+                        tail_at = start + len(buf)
+                        while not d.eof:
+                            if flen is None:
+                                flen = _os.path.getsize(p)
+                            if tail_at >= flen:
+                                break
+                            f.seek(tail_at)
+                            blk = f.read(1 << 20)
+                            tail_at += len(blk)
+                            out.append(d.decompress(blk))
+                    except zlib.error:
+                        pos = buf.find(b"\x1f\x8b\x08", pos + 1)
+                        continue
+                    if d.eof:
+                        raw = b"".join(out)
+                        if raw.startswith(b"WARC/1.0\r\n"):
+                            # normalize to the uncompressed reader's row
+                            # form: the lineSep split consumes the leading
+                            # magic and the record-final CRLF CRLF, so
+                            # strip exactly those (a payload's own
+                            # trailing CRLFs stay intact — a blind rstrip
+                            # would shorten them below Content-Length and
+                            # false-flag the record)
+                            raw = raw[10:]
+                            if raw.endswith(b"\r\n\r\n"):
+                                raw = raw[:-4]
+                            yield (raw.decode("utf-8", errors="replace"),)
+                    pos = buf.find(b"\x1f\x8b\x08", pos + 1)
+
+    rows = sc.parallelize(chunks, n_tasks).mapPartitions(scan_decode)
+    raw_df = spark.createDataFrame(rows, "value string")
+    return _parse_warc(raw_df)
 
 
 def read_warc_stream(

@@ -395,6 +395,59 @@ def test_read_warc_parse_and_quarantine(spark, tmp_path):
     assert len(tp) == 2 and tp._warc_malformed.all()
 
 
+def test_read_warc_gz_member_split_parity(spark, tmp_path):
+    """Splittable .warc.gz (VERDICT r7 #4): records written one-gzip-
+    member-per-record (the Common Crawl layout) parse identically to the
+    uncompressed reader on the same bytes — including the malformed
+    quarantine rows — and the scan stage finds every member even with a
+    chunk size small enough to force members to straddle chunk edges."""
+    import gzip
+    import os
+
+    from powershap_spark.sources.warc import read_warc, read_warc_gz
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "docs_small.warc")
+    with open(fix, "rb") as f:
+        raw = f.read()
+    # split the fixture into records the same way the lineSep reader does
+    # and re-wrap each as its own gzip member ending with CRLF CRLF
+    recs = raw.split(b"\r\n\r\nWARC/1.0\r\n")
+    recs = [recs[0]] + [b"WARC/1.0\r\n" + r for r in recs[1:]]
+    gz = tmp_path / "members"
+    gz.mkdir()
+    # the lineSep split consumed each record's trailing CRLF CRLF except
+    # the last one's — restore it without touching payload-owned CRLFs
+    members = [
+        r if r.endswith(b"\r\n\r\n") else r + b"\r\n\r\n" for r in recs
+    ]
+    blob = b"".join(gzip.compress(m) for m in members)
+    (gz / "shard0.warc.gz").write_bytes(blob)
+    (gz / "shard1.warc.gz").write_bytes(blob)
+
+    base = read_warc(spark, fix).toPandas()
+    cols = ["warc_type", "target_uri", "record_id", "content_length", "_warc_malformed"]
+
+    def canon(pdf):
+        return (
+            pdf[cols + ["payload"]]
+            .assign(payload=pdf.payload.str.strip())
+            .sort_values(cols + ["payload"])
+            .reset_index(drop=True)
+        )
+
+    # tiny chunk size forces many scan ranges per file (straddle coverage)
+    got = read_warc_gz(spark, str(gz), chunk_bytes=256).toPandas()
+    assert len(got) == 2 * len(base)
+    import pandas as _pd
+
+    twice = _pd.concat([base, base], ignore_index=True)
+    assert canon(got).equals(canon(twice))
+
+    # glob / single-file forms
+    one = read_warc_gz(spark, str(gz / "shard0.warc.gz")).toPandas()
+    assert canon(one).equals(canon(base))
+
+
 def test_warc_stream_matches_batch(spark, tmp_path):
     """Continuous crawl ingestion: read_warc_stream over a landing dir,
     drained availableNow one file per micro-batch, parses byte-identically
