@@ -265,7 +265,12 @@ def _signature_frame(
     the init value via coalesce, exactly as ``least``/``zip_with`` ignored
     the nulls."""
     if hash_family == "xxhash":
-        sh = hashed_shingles(text_col, shingle_n, seed=seed)
+        # NOTE: the shingle-hash seed is ALWAYS the hashed_shingles
+        # default (7), matching the r7 expression path exactly — only the
+        # per-signature-position hash seeds derive from ``seed``. Threading
+        # ``seed`` into the shingles would silently change signature
+        # values for non-default seeds and orphan persisted stores.
+        sh = hashed_shingles(text_col, shingle_n)
         ex = df.select(F.col(id_col), F.explode(sh).alias("__s"))
         init = F.lit(2**63 - 1).cast("long")
         mins = [

@@ -583,13 +583,28 @@ def _local_bpe_induction(word_counts, n_merges: int):
     instead of O(n_merges * vocab).
 
     ``word_counts``: iterable of (word, count). Returns the merge list
-    [(merge_idx, left, right, pair_count)]."""
+    [(merge_idx, left, right, pair_count)].
+
+    The argmax is a lazy heap (push on every stat change, discard stale
+    entries on pop) so each merge costs O(log P) plus the touched-word
+    rewrites, not an O(P) scan of all distinct pairs — the difference
+    between minutes and hours at 32k merges over a web-scale dictionary.
+    Heap order (-count, pair) reproduces the exact distributed tie-break
+    (count desc, then lexicographically smallest (left, right))."""
+    import heapq
     from collections import defaultdict
+
+    # symbol split parity with the distributed path's
+    # regexp_extract_all(word, '.', 0): Java's '.' (no DOTALL) skips line
+    # terminators, and NEL/LS/PS (U+0085/U+2028/U+2029) are NOT Java \s, so they
+    # survive the \s+ tokenization and reach the symbol split — Python's
+    # tuple(w) would keep them and learn different merges
+    _dot_excl = {"\n", "\r", "\x85", "\u2028", "\u2029"}
 
     words: list[tuple] = []
     counts: list[int] = []
     for w, c in word_counts:
-        words.append(tuple(w))
+        words.append(tuple(ch for ch in w if ch not in _dot_excl))
         counts.append(int(c))
 
     stats: dict = defaultdict(int)
@@ -600,13 +615,24 @@ def _local_bpe_induction(word_counts, n_merges: int):
             stats[pr] += c
             pair_words[pr].add(wi)
 
+    heap = [(-c, pr) for pr, c in stats.items()]
+    heapq.heapify(heap)
+
     merges = []
     for it in range(int(n_merges)):
-        if not stats:
+        best = None
+        while heap:
+            negc, pr = heap[0]
+            if stats.get(pr) == -negc:
+                best = (pr, -negc)
+                break
+            heapq.heappop(heap)  # stale entry (count changed since push)
+        if best is None:
             break
-        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
         merges.append((it, a, b, int(cnt)))
         ab = a + b
+        changed: set = set()
         for wi in list(pair_words.get((a, b), ())):
             syms = words[wi]
             c = counts[wi]
@@ -622,6 +648,7 @@ def _local_bpe_induction(word_counts, n_merges: int):
             new_syms = tuple(out)
             for pr in zip(syms, syms[1:]):
                 stats[pr] -= c
+                changed.add(pr)
                 if stats[pr] <= 0:
                     del stats[pr]
                     pair_words.pop(pr, None)
@@ -633,8 +660,15 @@ def _local_bpe_induction(word_counts, n_merges: int):
                         # re-added below if so
             for pr in zip(new_syms, new_syms[1:]):
                 stats[pr] += c
+                changed.add(pr)
                 pair_words[pr].add(wi)
             words[wi] = new_syms
+        # ONE heap entry per changed pair at its final count (pushing on
+        # every intermediate update measured slower than the O(P) scan it
+        # replaced — the rewrite loop touches pairs many times per merge)
+        for pr in changed:
+            if pr in stats:
+                heapq.heappush(heap, (-stats[pr], pr))
     return merges
 
 

@@ -136,13 +136,22 @@ def read_warc_gz(
                                 break
                             f.seek(tail_at)
                             blk = f.read(1 << 20)
+                            if not blk:
+                                break  # file shorter than flen said — never spin
                             tail_at += len(blk)
                             out.append(d.decompress(blk))
                     except zlib.error:
                         pos = buf.find(b"\x1f\x8b\x08", pos + 1)
                         continue
+                    joined = b"".join(out)
+                    if not d.eof and joined.startswith(b"WARC/1.0\r\n"):
+                        # truncated final member (partially landed shard):
+                        # emit the decoded prefix so the length check
+                        # downstream flags it _warc_malformed — quarantine,
+                        # not a silent drop (count-don't-crash policy)
+                        yield (joined[10:].decode("utf-8", errors="replace"),)
                     if d.eof:
-                        raw = b"".join(out)
+                        raw = joined
                         if raw.startswith(b"WARC/1.0\r\n"):
                             # normalize to the uncompressed reader's row
                             # form: the lineSep split consumes the leading

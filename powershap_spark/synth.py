@@ -51,12 +51,14 @@ def transcripts(
     """Deterministic transcript table. Total rows ~ n_conv * mean_turns /
     (1 - hot_frac); conversation 0 holds ~hot_frac of them.
 
-    skew_safe=True redistributes rows right after the per-conversation
-    explode (so the hot conversation's expensive per-row text synthesis
-    doesn't run inside one task) and computes the cumulative-gap timestamp
-    with the two-phase chunked prefix sum instead of one per-conversation
-    window. Gaps are integer-valued doubles, so the chunked summation is
-    bit-identical to the sequential one at any partitioning."""
+    skew_safe=True computes the cumulative-gap timestamp with the
+    two-phase chunked prefix sum instead of one per-conversation window;
+    the expensive per-row text synthesis runs AFTER that exchange,
+    already spread by the cumsum's (conv_id, chunk) partitioning, so a
+    hot conversation's rows never synthesize inside one task and no
+    separate redistribution shuffle is needed (r8). Gaps are
+    integer-valued doubles, so the chunked summation is bit-identical to
+    the sequential one at any partitioning."""
     # base turns uniform in [3, 2*mean_turns+2] (mean ~= mean_turns+2), 3% of
     # convs x8 long tail -> expected per-conv ~= 1.21 * (mean_turns + 2)
     expected_total = n_conv * (mean_turns + 2) * 1.21

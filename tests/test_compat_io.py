@@ -428,9 +428,11 @@ def test_read_warc_gz_member_split_parity(spark, tmp_path):
     cols = ["warc_type", "target_uri", "record_id", "content_length", "_warc_malformed"]
 
     def canon(pdf):
+        # RAW payload compare — the readers must agree byte-for-byte
+        # (stripping here would mask exactly the CRLF-trailer bugs the
+        # gz reader's magic/trailer normalization exists to prevent)
         return (
             pdf[cols + ["payload"]]
-            .assign(payload=pdf.payload.str.strip())
             .sort_values(cols + ["payload"])
             .reset_index(drop=True)
         )
@@ -446,6 +448,16 @@ def test_read_warc_gz_member_split_parity(spark, tmp_path):
     # glob / single-file forms
     one = read_warc_gz(spark, str(gz / "shard0.warc.gz")).toPandas()
     assert canon(one).equals(canon(base))
+
+    # truncated final member (partially landed shard): the decoded prefix
+    # must surface as a quarantine row (_warc_malformed), never hang or
+    # silently vanish
+    cut = tmp_path / "cut"
+    cut.mkdir()
+    (cut / "t.warc.gz").write_bytes(blob[: len(blob) - 40])
+    tp = read_warc_gz(spark, str(cut)).toPandas()
+    assert len(tp) == len(base)  # every member surfaced, last one truncated
+    assert tp._warc_malformed.sum() == base._warc_malformed.sum() + 1
 
 
 def test_warc_stream_matches_batch(spark, tmp_path):

@@ -1346,6 +1346,17 @@ def test_bpe_learn_local_equals_distributed(spark):
     with pytest.raises(ValueError):
         bpe_learn(docs, n_merges=6, mode="nope")
 
+    # Unicode symbol-split parity: NEL/LS/PS survive \s+ tokenization but
+    # Java's '.' (the distributed regexp_extract_all symbol split) skips
+    # them — the local path must drop them identically
+    utexts = ["a\u2028b a\u2028b ab", "c\u0085d c\u0085d cd", "e\u2029f e\u2029f ef"]
+    udocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(utexts)), "text": utexts})
+    )
+    ud = bpe_learn(udocs, n_merges=8, mode="distributed").toPandas()
+    ul = bpe_learn(udocs, n_merges=8, mode="local").toPandas()
+    assert ul.values.tolist() == ud.values.tolist()
+
 
 def test_token_shift_and_corpus_divergence_match_reference(spark):
     """Both drift operators == a pure-python recomputation over the same

@@ -113,13 +113,23 @@ def main():
         _wide = {"i": "int64", "u": "uint64", "f": "float64"}
 
         def _col_equal(x: pd.Series, y: pd.Series) -> bool:
-            w = _wide.get(x.dtype.kind)
-            if w:
-                # nullable ints arrive as float64 via pandas; kind already
-                # matched, so widening within the kind is value-exact
-                xv, yv = x.astype(w), y.astype(w)
-                return bool(np.array_equal(xv.values, yv.values, equal_nan=(w == "float64")))
-            return bool(x.equals(y))
+            try:
+                w = _wide.get(x.dtype.kind)
+                if w:
+                    # nullable ints arrive as float64 via pandas; kind
+                    # already matched, so widening within the kind is
+                    # value-exact
+                    xv, yv = x.astype(w), y.astype(w)
+                    return bool(
+                        np.array_equal(
+                            xv.values, yv.values, equal_nan=(w == "float64")
+                        )
+                    )
+                return bool(x.equals(y))
+            except (TypeError, ValueError):
+                # e.g. pd.NA in a nullable-int column: record THIS query
+                # as FAIL and keep the gate running over the rest
+                return False
 
         ok_vals = (
             ok_rows
