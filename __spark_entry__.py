@@ -1287,11 +1287,15 @@ def q_corpus_diff_documents(spark, sf_dir):
 
 
 def q_simhash_documents(spark, sf_dir):
-    from powershap_spark.operators.dedup import simhash
+    """r8: frame-level simhash (explode + codegen vote aggregate) —
+    value-identical to the per-row expression fold (parity pytest), one
+    hash per distinct token instead of a 64-wide interpreted array fold
+    per token."""
+    from powershap_spark.operators.dedup import simhash_frame
 
     d = _read(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", simhash("text", hash_family="poly").alias("simhash64")
+    return simhash_frame(d, hash_family="poly").select(
+        "doc_id", F.col("simhash").alias("simhash64")
     )
 
 

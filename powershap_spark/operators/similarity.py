@@ -24,6 +24,7 @@ __all__ = [
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_bucket",
+    "band_buckets",
     "lsh_topk",
     "stride_centroids",
     "ivf_topk",
@@ -106,6 +107,34 @@ def brute_force_topk(
     )
 
 
+def _plane_sign(p: int, n_planes: int, seed: int, hash_family: str):
+    """The deterministic ±1 plane-component generator shared by the
+    expression path (lsh_bucket) and the sign-matrix job (band_buckets) —
+    ONE definition so the two paths cannot drift."""
+    from .dedup import POLY_MOD, affine_params
+
+    if hash_family == "xxhash":
+        return lambda i: F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    if hash_family == "poly":
+        a_l, b_l = affine_params(n_planes, seed)
+        a_p, b_p = a_l[p], b_l[p]
+        return lambda i: F.when(
+            F.pmod(
+                F.pmod(
+                    F.lit(a_p).cast("long") * (i + 1) + F.lit(b_p).cast("long"),
+                    F.lit(POLY_MOD),
+                ),
+                F.lit(2),
+            )
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def lsh_bucket(
     vec_col, n_planes: int = 8, dim: int | None = None, seed: int = 5,
     hash_family: str = "xxhash",
@@ -118,33 +147,15 @@ def lsh_bucket(
     matrices shipped around) and is an unbiased random-projection family.
     hash_family="xxhash" derives s_pi from xxhash64(seed, plane, i);
     "poly" derives it from the parity of (a_p*(i+1)+b_p) % POLY_MOD — the
-    engine-agnostic family the DuckDB oracle recomputes exactly."""
-    from .dedup import POLY_MOD, affine_params
+    engine-agnostic family the DuckDB oracle recomputes exactly.
 
+    This is the per-VECTOR expression form (right for query-sized sides);
+    for bucketing a whole TABLE use ``band_buckets`` — same values via a
+    codegen sum-aggregate instead of n_planes interpreted folds per row."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    a_l, b_l = affine_params(n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
-        if hash_family == "xxhash":
-            sign = lambda i: F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-        elif hash_family == "poly":
-            a_p, b_p = a_l[p], b_l[p]
-            sign = lambda i: F.when(
-                F.pmod(
-                    F.pmod(
-                        F.lit(a_p).cast("long") * (i + 1) + F.lit(b_p).cast("long"),
-                        F.lit(POLY_MOD),
-                    ),
-                    F.lit(2),
-                )
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-        else:
-            raise ValueError(f"unknown hash_family {hash_family!r}")
+        sign = _plane_sign(p, n_planes, seed, hash_family)
         proj = F.aggregate(
             F.zip_with(
                 v,
@@ -156,6 +167,88 @@ def lsh_bucket(
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
     return bucket
+
+
+def _sign_matrix(spark, d: int, n_planes: int, seed: int, hash_family: str):
+    """±1.0 components for planes 0..n_planes-1 over positions 0..d-1,
+    computed by a TINY Spark job running the exact ``_plane_sign``
+    expressions — bit parity with the expression path by construction
+    (never a Python reimplementation of xxhash). d*n_planes values."""
+    r = spark.range(int(d)).select(F.col("id").cast("int").alias("i"))
+    cols = [
+        _plane_sign(p, n_planes, seed, hash_family)(F.col("i")).alias(f"s{p}")
+        for p in range(n_planes)
+    ]
+    rows = r.select("i", *cols).orderBy("i").collect()
+    return [[float(row[f"s{p}"]) for row in rows] for p in range(n_planes)]
+
+
+def band_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 5,
+    hash_family: str = "xxhash",
+) -> DataFrame:
+    """``(id, band_id, bucket)`` sign-LSH buckets for a whole table —
+    value-identical to ``lsh_bucket(vec, n_planes, seed=seed+band)`` per
+    band, but ONE posexplode + codegen HashAggregate instead of
+    n_bands*n_planes interpreted array folds per row (measured 6x on
+    embedding_cosine_dedup at sf1.0). Band b's planes are seeded
+    ``seed + b`` — the cosine_candidate_pairs/lsh_topk convention.
+
+    Parity notes: positions of one vector explode from one row, so the
+    partial sum accumulates in position order — the same IEEE addition
+    sequence as the expression fold; plane signs come from a d-row Spark
+    job over the SAME _plane_sign expressions. posexplode_outer keeps
+    empty/null vectors as a null marker row: their projections go null ->
+    bucket bit 0, matching the fold's null/empty semantics (a null
+    ELEMENT likewise nulls the whole projection via the __nnull guard,
+    exactly like null poisoning a running fold)."""
+    spark = embeddings.sparkSession
+    d_row = embeddings.agg(F.max(F.size(F.col(vec_col))).alias("d")).collect()[0]
+    d = int(d_row["d"] or 0)
+    signs = {
+        b: _sign_matrix(spark, d, n_planes, seed + b, hash_family)
+        for b in range(int(n_bands))
+    } if d > 0 else {b: [[] for _ in range(n_planes)] for b in range(int(n_bands))}
+
+    ex = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("__pos").isNull() | F.col("__x").isNull(), 1).otherwise(0)).alias("__nnull")
+    ]
+    for b in range(int(n_bands)):
+        for p in range(n_planes):
+            arr = F.array(*[F.lit(s) for s in signs[b][p]])
+            prod = F.col("__x") * F.element_at(arr, F.col("__pos") + 1)
+            aggs.append(F.sum(prod).alias(f"__s_{b}_{p}"))
+    g = ex.groupBy("__id").agg(*aggs)
+
+    def bucket_of(b):
+        out = F.lit(0)
+        for p in range(n_planes):
+            proj = F.when(
+                F.col("__nnull") > 0, F.lit(None).cast("double")
+            ).otherwise(F.coalesce(F.col(f"__s_{b}_{p}"), F.lit(0.0)))
+            out = out + F.when(proj > 0, F.lit(2**p)).otherwise(0)
+        return out
+
+    return g.select(
+        F.col("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), bucket_of(b).alias("bucket"))
+                    for b in range(int(n_bands))
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band_id", "__band.bucket")
 
 
 def lsh_topk(
@@ -222,9 +315,11 @@ def lsh_topk(
                 )
             ).alias("__band")
 
-        e_b = embeddings.select(F.col(id_col), bands(vc=F.col(vec_col))).select(
-            id_col, "__band.band_id", "__band.bucket"
-        )
+        # table side: frame-level bucketing (codegen aggregate); the
+        # query side stays on the per-vector expression — it is Q-sized
+        e_b = band_buckets(
+            embeddings, id_col, vec_col, n_planes, n_bands, seed, hash_family
+        ).withColumnRenamed("__id", id_col)
         q_b = q.select("query_id", bands(vc=F.col("__qv"))).select(
             "query_id", "__band.band_id", "__band.bucket"
         )
@@ -483,22 +578,12 @@ def cosine_candidate_pairs(
     at cosine 0.97, 16 planes x 8 bands ~ 0.92, x 16 bands ~ 0.99. The band
     explosion carries only (id, band, bucket) — vectors are re-attached by
     the caller after pair dedup (shuffle-byte discipline)."""
-    e = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        lsh_bucket(
-                            vec_col, n_planes, seed=seed + b, hash_family=hash_family
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("__id", "band.band_id", "band.bucket")
+    # frame-level bucketing: one posexplode + codegen sum-aggregate for
+    # all n_bands*n_planes projections (band_buckets docstring has the
+    # bit-parity argument vs the per-row lsh_bucket expression folds)
+    e = band_buckets(
+        embeddings, id_col, vec_col, n_planes, n_bands, seed, hash_family
+    )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -556,14 +641,35 @@ def embedding_cosine_dedup(
         seed=seed,
         hash_family=hash_family,
     )
-    vecs = embeddings.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    # per-vector norms ride along with the re-attached vectors so the
+    # per-PAIR work is one dot fold (the brute_force_topk norm hoist —
+    # identical sqrt(aggregate(v*v)) expression, evaluated per id, not
+    # per candidate pair)
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__n"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     dupes = (
         pairs.join(vecs, F.col("id_a") == F.col("__vid"))
-        .select("id_a", "id_b", F.col("__v").alias("__va"))
+        .select("id_a", "id_b", F.col("__v").alias("__va"), F.col("__n").alias("__na"))
         .join(vecs, F.col("id_b") == F.col("__vid"))
         .select(
             F.col("id_b").alias(id_col),
-            cosine_similarity_col(F.col("__va"), F.col("__v")).alias("__cos"),
+            F.when(
+                (F.col("__na") > 0) & (F.col("__n") > 0),
+                dot / (F.col("__na") * F.col("__n")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__cos"),
         )
         .filter(F.col("__cos") >= float(threshold))
         .select(id_col)

@@ -377,6 +377,79 @@ def test_ivf_topk_with_kmeans_centroids_exact_rerank(spark, emb):
         assert np.allclose(grp.cosine.values, sims[q][grp.vec_id.values], atol=1e-9)
 
 
+def test_simhash_frame_matches_expression(spark):
+    """Frame-level simhash (explode + codegen vote aggregate, r8) must be
+    bit-identical to the per-row expression fold for both hash families,
+    including null-text (NULL fingerprint) and empty-text docs."""
+    from powershap_spark.operators.dedup import simhash, simhash_frame
+
+    texts = [None, "", "alpha beta alpha", "beta  gamma\tdelta", "x"] + [
+        f"tok{i % 7} tok{i % 5} tok{i}" for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for fam in ("xxhash", "poly"):
+        a = sorted(
+            map(
+                tuple,
+                docs.select(
+                    "doc_id", simhash("text", hash_family=fam).alias("simhash")
+                ).collect(),
+            )
+        )
+        b = sorted(map(tuple, simhash_frame(docs, hash_family=fam).collect()))
+        assert a == b, fam
+
+
+def test_band_buckets_matches_lsh_bucket_expression(spark):
+    """The frame-level band_buckets (posexplode + codegen sum-aggregate,
+    r8) must reproduce lsh_bucket's per-vector expression buckets
+    bit-exactly for both hash families, including degenerate vectors
+    (empty / null / null-element)."""
+    from powershap_spark.operators.similarity import band_buckets, lsh_bucket
+
+    rows = 200
+    base = spark.range(rows).withColumnRenamed("id", "vec_id").withColumn(
+        "embedding",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (
+                F.pmod(F.xxhash64("vec_id", i), F.lit(1000)).cast("double") / 500.0
+                - 1.0
+            ),
+        ),
+    )
+    deg = spark.range(rows, rows + 3).withColumnRenamed("id", "vec_id").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == rows, F.array().cast("array<double>"))
+        .when(F.col("vec_id") == rows + 1, F.lit(None).cast("array<double>"))
+        .otherwise(F.array(F.lit(1.0), F.lit(None).cast("double"))),
+    )
+    emb = base.unionByName(deg)
+    for fam in ("xxhash", "poly"):
+        fr = band_buckets(emb, "vec_id", "embedding", 6, 3, 5, fam)
+        ex = emb.select(
+            F.col("vec_id").alias("__id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            lsh_bucket(
+                                "embedding", 6, seed=5 + b, hash_family=fam
+                            ).alias("bucket"),
+                        )
+                        for b in range(3)
+                    ]
+                )
+            ).alias("band"),
+        ).select("__id", "band.band_id", "band.bucket")
+        a = sorted(map(tuple, fr.collect()))
+        b = sorted(map(tuple, ex.collect()))
+        assert a == b, fam
+
+
 def test_embedding_cosine_dedup_drops_planted_near_dups(spark):
     from powershap_spark.operators.similarity import embedding_cosine_dedup
 
